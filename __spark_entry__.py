@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine: a PySpark-native main-content (readability) extraction
+pipeline re-expressing fb55/readabilitySAX (see SURVEY.md), plus the
+training-data operators a 100 TB web-text pipeline needs (dedup,
+similarity search, text analysis, multimodal plumbing).
+
+Correctness story: pages are synthesized deterministically from the
+``documents`` table (readabilitysax_spark/functions/pagegen.py), and
+the generator is engineered so the *extraction result* is analytically
+computable in ANSI SQL — so even the extraction pipeline itself is
+DuckDB-oracle-checked (title/text/length/score/next_page per url).
 """
 
 from __future__ import annotations
@@ -12,27 +17,347 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readabilitysax_spark.operators import dedup, multimodal, similarity, textstats
+from readabilitysax_spark.operators.extract import extract_articles
+from readabilitysax_spark.sources.pages import read_documents, read_pages
+
+_ARTICLE_COLS = [
+    "url", "title", "text", "text_length", "score", "next_page",
+    "skip_level", "error",
+]
+
+
+def _articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = read_pages(spark, sf_dir)
+    return extract_articles(pages, num_partitions=None).select(*_ARTICLE_COLS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001 pages."""
+    return _articles(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries: (spark, sf_dir) -> DataFrame, one per operator family
+# --------------------------------------------------------------------------
+
+def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _articles(spark, sf_dir)
+
+
+def _q_extract_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = read_pages(spark, sf_dir)
+    arts = extract_articles(pages)
+    joined = arts.join(pages.select("url", "lang"), "url")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("text_length").alias("total_text_length"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum(F.when(F.col("error"), 1).otherwise(0)).alias("error_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(read_documents(spark, sf_dir))
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_buckets(read_documents(spark, sf_dir))
+
+
+def _q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(read_documents(spark, sf_dir), num_hashes=4)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(read_documents(spark, sf_dir), bits=16)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(read_documents(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_stats(read_documents(spark, sf_dir))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(read_documents(spark, sf_dir))
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.corpus_stats_by_lang(read_documents(spark, sf_dir))
+
+
+def _read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read_embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.brute_force_topk(
+        emb.where(F.col("vec_id") != 0), [float(v) for v in qvec], k=10
+    )
+
+
+def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read_embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    dim = len(qvec)
+    return similarity.lsh_bucket_topk(
+        emb.where(F.col("vec_id") != 0), [float(v) for v in qvec], dim=dim, k=10
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read_embeddings(spark, sf_dir)
+    dim = len(emb.select("embedding").head()[0])
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.9, dim=dim)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media_from_documents(read_documents(spark, sf_dir))
+    return multimodal.extract_media_features(media).select(
+        "media_id", "media_type", "n_bytes"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_articles": _q_extract_articles,
+        "extract_by_lang": _q_extract_by_lang,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_dedup_minhash_sigs,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "lang_id": _q_lang_id,
+        "text_quality": _q_text_quality,
+        "fingerprints": _q_fingerprints,
+        "corpus_stats_by_lang": _q_corpus_stats,
+        "similarity_topk": _q_similarity_topk,
+        "similarity_lsh_topk": _q_similarity_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — same column names/types as the queries
+# --------------------------------------------------------------------------
+
+# shared CTE: the analytic prediction of what extraction produces
+_EXPECTED_ARTICLES_CTE = """
+WITH d AS (
+  SELECT doc_id, text, source, lang, length(text) AS l,
+         (260 + length(text) - 1) // length(text) AS m
+  FROM documents
+), exp AS (
+  SELECT
+    'http://' || source || '.example/articles/doc-' || doc_id AS url,
+    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
+    rtrim(repeat(text || chr(10), m), chr(10)) AS text,
+    CAST(m * l AS BIGINT) AS text_length,
+    CAST(m * (1 + least(l // 100, 3)) + 30 AS DOUBLE) AS score,
+    'http://' || source || '.example/articles/doc-' || doc_id || '/page/2' AS next_page,
+    CAST(0 AS INT) AS skip_level,
+    FALSE AS error,
+    lang
+  FROM d
+)
+"""
+
+_MINHASH_CTE = """
+WITH sh AS (
+  SELECT doc_id,
+         [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), sig AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+)
+"""
+
+
+def _minhash_select(num_hashes: int) -> str:
+    cols = ", ".join(
+        f"min(md5('{k}:' || s)) AS minhash_{k}" for k in range(num_hashes)
+    )
+    return f"{_MINHASH_CTE} SELECT doc_id, {cols} FROM sig GROUP BY doc_id"
+
+
+def _lang_id_sql() -> str:
+    structs = ", ".join(
+        "{'hits': length(list_intersect(list_distinct(string_split(text,' ')), "
+        + repr(list(textstats.LANG_MARKERS[code]))
+        + ")), 'code': '" + code + "'}"
+        for code in sorted(textstats.LANG_MARKERS, reverse=True)
+    )
+    return f"""
+        SELECT doc_id,
+               list_aggregate([{structs}], 'max')['code'] AS lang_pred,
+               CAST(list_aggregate([{structs}], 'max')['hits'] AS INT) AS lang_hits
+        FROM documents
     """
-    return {}
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    expr = dedup.simhash_sql_expr("w.word", bits=bits)
+    return f"""
+        SELECT d.doc_id AS doc_id, CAST({expr} AS BIGINT) AS simhash
+        FROM documents d, unnest(string_split(d.text, ' ')) AS w(word)
+        GROUP BY d.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stop = list(textstats.STOPWORDS)
+    q = {}
+
+    q["extract_articles"] = (
+        _EXPECTED_ARTICLES_CTE
+        + "SELECT url, title, text, text_length, score, next_page, skip_level, error FROM exp"
+    )
+
+    q["extract_by_lang"] = (
+        _EXPECTED_ARTICLES_CTE
+        + """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(text_length) AS total_text_length,
+               CAST(round(AVG(score), 6) AS DOUBLE) AS avg_score,
+               CAST(0 AS BIGINT) AS error_rows
+        FROM exp GROUP BY lang ORDER BY lang
+        """
+    )
+
+    q["dedup_exact"] = """
+        SELECT doc_id, md5(text) AS text_hash,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        FROM documents
     """
-    return {}
+
+    q["dedup_minhash_sigs"] = _minhash_select(4)
+
+    q["dedup_minhash_lsh"] = f"""
+        WITH sigs AS ({_minhash_select(dedup.DEFAULT_NUM_HASHES)}),
+        bands AS (
+            SELECT doc_id, band, band_hash FROM sigs
+            UNPIVOT (band_hash FOR band IN ({
+                ", ".join(f"minhash_{k} AS '{k}'" for k in range(dedup.DEFAULT_NUM_HASHES))
+            }))
+        )
+        SELECT CAST(band AS INT) AS band, band_hash,
+               COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM bands GROUP BY band, band_hash HAVING COUNT(*) > 1
+    """
+
+    q["dedup_simhash"] = _simhash_sql(16)
+
+    q["dedup_ngram_jaccard"] = f"""
+        WITH sigs AS ({_minhash_select(dedup.DEFAULT_NUM_HASHES)}),
+        bands AS (
+            SELECT doc_id, band, band_hash FROM sigs
+            UNPIVOT (band_hash FOR band IN ({
+                ", ".join(f"minhash_{k} AS '{k}'" for k in range(dedup.DEFAULT_NUM_HASHES))
+            }))
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        ssets AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sset
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT doc_a, doc_b,
+               CAST(round(
+                 CAST(length(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                 / length(list_distinct(list_concat(sa.sset, sb.sset))), 6) AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN ssets sa ON sa.doc_id = doc_a
+        JOIN ssets sb ON sb.doc_id = doc_b
+    """
+
+    q["lang_id"] = _lang_id_sql()
+
+    q["text_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split(text, ' ') AS w,
+                 length(text) AS n_chars
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(length(regexp_extract_all(text, '{textstats.TOKEN_RE}')) AS BIGINT) AS n_tokens,
+                 CAST(round(CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w), 6) AS DOUBLE) AS avg_word_len,
+                 CAST(round(CAST(length(list_filter(w, x -> list_contains({stop!r}, x))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS stopword_ratio,
+                 CAST(round(CAST(length(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS digit_ratio
+          FROM t
+        )
+        SELECT doc_id, n_words, n_tokens, avg_word_len, stopword_ratio, digit_ratio,
+               CAST(round(least(n_words / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3
+                          + (1.0 - digit_ratio) * 0.2, 6) AS DOUBLE) AS quality_score
+        FROM s
+    """
+
+    q["fingerprints"] = """
+        SELECT doc_id, md5(text) AS fp_full,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_sorted_vocab
+        FROM documents
+    """
+
+    q["corpus_stats_by_lang"] = """
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(length(text)) AS total_chars,
+               CAST(round(AVG(length(text)), 6) AS DOUBLE) AS avg_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+    q["similarity_topk"] = """
+        WITH q AS (
+          SELECT unnest(embedding)::DOUBLE AS qv, generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0
+        ), e AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id <> 0
+        ), dots AS (
+          SELECT e.vec_id,
+                 SUM(e.v * q.qv) AS dot,
+                 sqrt(SUM(e.v * e.v)) AS ne,
+                 sqrt(SUM(q.qv * q.qv)) AS nq
+          FROM e JOIN q ON e.i = q.i
+          GROUP BY e.vec_id
+        )
+        SELECT vec_id, CAST(round(dot / (ne * nq), 6) AS DOUBLE) AS cosine
+        FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+    q["media_features"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(5 + length(text) AS BIGINT) AS n_bytes
+        FROM documents
+    """
+
+    # similarity_lsh_topk / embedding_near_dup: hyperplane LSH is not
+    # SQL-expressible → rows-only check (driver records the weaker check)
+    return q

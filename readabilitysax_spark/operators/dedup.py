@@ -1,0 +1,215 @@
+"""Deduplication operators for web-text training pipelines.
+
+All operators are pure DataFrame/Catalyst plans — built-in JVM
+functions only, no Python UDFs — so they stay inside whole-stage
+codegen and scale with executors:
+
+* exact:          one hash-shuffle on md5(text) (map-side combinable)
+* minhash LSH:    shingle → k salted-min signatures → band explode →
+                  bucket aggregation (the classic shingle/minhash/band
+                  pipeline; portable: signatures are lexicographic MINs
+                  of salted md5 hex strings, reproducible in any engine)
+* simhash:        64-bit majority-vote fingerprint over word hashes,
+                  built from one shared SQL fragment (dialect-portable
+                  between Spark SQL and DuckDB for oracle checking)
+* ngram jaccard:  exact pairwise Jaccard over shingle sets, restricted
+                  to LSH candidate pairs (never all-pairs at scale)
+
+Scale notes: every shuffle here keys on a hash (uniform by
+construction, no skew salting needed); the band join is self-balancing
+because bucket sizes are bounded by near-dup cluster sizes; at 10^12
+docs the LSH band count/width trade recall for shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_SHINGLE_WORDS = 3
+
+
+def _words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(text_col: str = "text", k: int = DEFAULT_SHINGLE_WORDS) -> Column:
+    """Word k-gram shingles as an array<string> column (JVM transform)."""
+    w = _words(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Per-doc exact-dup labeling: (doc_id, text_hash, group_size, is_dup).
+
+    Keeper = min doc_id per hash; one shuffle on the hash key.
+    """
+    df = documents.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        df.withColumn("group_size", F.count("*").over(w))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", "text_hash", "group_size", "keeper_id", "is_dup")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """(doc_id, minhash_0..minhash_{k-1}) — min of salted md5 per salt.
+
+    Lexicographic min over hex digests is a valid min-wise hash family
+    and is engine-portable (md5 + string min exist everywhere).
+    """
+    sh = shingles("text", shingle_words).alias("sh")
+    df = documents.select("doc_id", sh)
+
+    def salted_min(k: int) -> Column:
+        # NB: the lambda must stay single-arg — pyspark passes
+        # (element, index) to two-arg lambdas, which would clobber the salt
+        salt = F.lit(f"{k}:")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(salt, s)))
+        ).alias(f"minhash_{k}")
+
+    return df.select("doc_id", *[salted_min(k) for k in range(num_hashes)])
+
+
+def minhash_lsh_buckets(
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """LSH buckets with >1 member: (band, band_hash, n_docs, min_doc_id,
+    max_doc_id). Each signature position is one band (r=1)."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_words)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.col(f"minhash_{k}").alias("band_hash"),
+                )
+                for k in range(num_hashes)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.band_hash")
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_candidate_pairs(
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (doc_a < doc_b) via band join."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_words)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(k)), F.col(f"minhash_{k}"))
+                for k in range(num_hashes)
+            ])
+        ).alias("bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.0,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for LSH candidate pairs only.
+
+    (doc_a, doc_b, jaccard) — uses array_intersect/array_union on the
+    deduplicated shingle sets; the expensive all-pairs product is
+    avoided by the LSH pre-filter.
+    """
+    pairs = minhash_candidate_pairs(documents, num_hashes, shingle_words)
+    sets_df = documents.select(
+        "doc_id", F.array_distinct(shingles("text", shingle_words)).alias("sset")
+    )
+    return (
+        pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
+        .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---- simhash: shared SQL fragment so Spark and any ANSI oracle agree ----
+
+def simhash_sql_expr(word_expr: str, bits: int = 16) -> str:
+    """Dialect-portable SQL aggregate expression computing a
+    ``bits``-wide simhash over a pre-exploded word column ``word_expr``
+    (wrap with the engine's unnest/explode and GROUP BY doc).
+
+    Uses only md5/substring/strpos/%/CASE/SUM — identical semantics
+    under Spark SQL and DuckDB, which is what lets the DuckDB oracle
+    verify the Spark operator bit-for-bit. Kept to 16 bits by default:
+    the expression is O(bits) wide; production simhash-64 uses the
+    same plan shape with more terms.
+    """
+    bit_terms = []
+    for b in range(bits):
+        hx = b // 4 + 1
+        power = 2 ** (3 - b % 4)
+        nib = f"instr('0123456789abcdef', substring(md5({word_expr}), {hx}, 1)) - 1"
+        bit = f"CASE WHEN ({nib}) % {power * 2} >= {power} THEN 1 ELSE -1 END"
+        bit_terms.append(
+            f"CASE WHEN SUM({bit}) > 0 THEN {2 ** (bits - 1 - b)} ELSE 0 END"
+        )
+    bits_sum = " + ".join(bit_terms)
+    return bits_sum  # to be used inside: SELECT doc_id, <this> FROM ... exploded words w
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Spark-side simhash via the same arithmetic (JVM expressions)."""
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).withColumn("h", F.md5("word"))
+    aggs = []
+    for b in range(bits):
+        hx = b // 4 + 1
+        power = 2 ** (3 - b % 4)
+        nib = F.expr(f"instr('0123456789abcdef', substring(h, {hx}, 1)) - 1")
+        bit = F.when((nib % (power * 2)) >= power, 1).otherwise(-1)
+        aggs.append(
+            F.when(F.sum(bit) > 0, 2 ** (bits - 1 - b)).otherwise(0).alias(f"b{b}")
+        )
+    per_doc = words.groupBy("doc_id").agg(*aggs)
+    total = None
+    for b in range(bits):
+        c = F.col(f"b{b}")
+        total = c if total is None else total + c
+    return per_doc.select("doc_id", total.cast("bigint").alias("simhash"))

@@ -1,0 +1,144 @@
+"""The extraction operator: pages → articles, as ONE vectorized Arrow UDF.
+
+The whole readabilitySAX dataflow (SURVEY.md §2.2-2.3, rows S1-S24 /
+O1-O5) runs inside ``mapInArrow`` over (url, html) batches — Spark
+never sees the element tree, only the input scan and the output
+articles. No per-row Python UDFs anywhere (north_rule).
+
+Scale design:
+* **Skew defusal** — page size is heavy-tailed (a 100 MB page among
+  4 KB pages stalls a task). ``salted_repartition`` spreads rows by
+  ``(xxhash64(url), floor(log2(len(html))))`` so each task gets a mix
+  of sizes; at 1000 executors the same call defuses host-level skew
+  from crawl ordering.
+* **Memory** — input Arrow batches are capped by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py);
+  output batches are additionally flushed by byte budget so a run of
+  huge articles cannot blow the Python worker.
+* **Lineage** — every article row carries ``partition_id`` and the
+  partition-cumulative ``wall_ms`` at emit time; the metrics table is
+  a cheap groupBy over these (operators/metrics.py) instead of a
+  second pass.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.api import extract
+
+ARTICLES_DDL = (
+    "url string, title string, text string, text_length bigint, "
+    "score double, next_page string, skip_level int, error boolean, "
+    "html_bytes bigint, partition_id int, wall_ms bigint"
+)
+
+ARTICLES_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("title", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("text_length", pa.int64()),
+        pa.field("score", pa.float64()),
+        pa.field("next_page", pa.string()),
+        pa.field("skip_level", pa.int32()),
+        pa.field("error", pa.bool_()),
+        pa.field("html_bytes", pa.int64()),
+        pa.field("partition_id", pa.int32()),
+        pa.field("wall_ms", pa.int64()),
+    ]
+)
+
+# flush output batches beyond this many article-text bytes
+_OUT_BYTE_BUDGET = 32 << 20
+_OUT_ROW_BUDGET = 1024
+
+
+def _make_extract_fn(settings: dict | None, output_type: str):
+    def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        t0 = time.perf_counter()
+
+        cols: dict[str, list] = {name: [] for name in ARTICLES_ARROW_SCHEMA.names}
+        pending_bytes = 0
+
+        def flush() -> pa.RecordBatch:
+            nonlocal cols, pending_bytes
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[f.name], f.type)
+                    for f in ARTICLES_ARROW_SCHEMA
+                ],
+                schema=ARTICLES_ARROW_SCHEMA,
+            )
+            cols = {name: [] for name in ARTICLES_ARROW_SCHEMA.names}
+            pending_bytes = 0
+            return batch
+
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            for url, html in zip(urls, htmls):
+                html = html or b""
+                art = extract(html, url=url, type_=output_type, settings=settings)
+                text = art.get("text", "") or ""
+                cols["url"].append(url)
+                cols["title"].append(art.get("title", ""))
+                cols["text"].append(text)
+                cols["text_length"].append(int(art.get("textLength", 0)))
+                cols["score"].append(float(art.get("score", 0)))
+                cols["next_page"].append(art.get("nextPage", ""))
+                cols["skip_level"].append(int(art.get("skipLevel", -1)))
+                cols["error"].append(bool(art.get("error", False)))
+                cols["html_bytes"].append(len(html))
+                cols["partition_id"].append(pid)
+                cols["wall_ms"].append(
+                    int((time.perf_counter() - t0) * 1000)
+                )
+                pending_bytes += len(text) + len(html) // 16
+                if (
+                    pending_bytes >= _OUT_BYTE_BUDGET
+                    or len(cols["url"]) >= _OUT_ROW_BUDGET
+                ):
+                    yield flush()
+        if cols["url"]:
+            yield flush()
+
+    return extract_batches
+
+
+def salted_repartition(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """Spread by url hash × size bucket to defuse page-size/host skew."""
+    return pages.repartition(
+        num_partitions,
+        F.xxhash64("url"),
+        F.floor(F.log2(F.length(F.col("html")) + F.lit(2.0))),
+    )
+
+
+def extract_articles(
+    pages: DataFrame,
+    output_type: str = "text",
+    settings: dict | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """pages(url, html, ...) → articles DataFrame.
+
+    Column pruning: only (url, html) are selected, so Catalyst pushes
+    the 2-column projection into the scan (check `.explain`:
+    ReadSchema contains just url, html when reading a pages table).
+    """
+    src = pages.select("url", "html")
+    if num_partitions:
+        src = salted_repartition(src, num_partitions)
+    return src.mapInArrow(
+        _make_extract_fn(settings, output_type),
+        ARTICLES_DDL,
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k against a query vector:
+  the dot product runs as JVM ``aggregate``/``zip_with`` expressions
+  (double precision, deterministic), ranked with one ORDER BY ... LIMIT
+  (Spark's TakeOrdered — no full sort materialization).
+* ``lsh_bucket_topk`` — the scale path: deterministic random-hyperplane
+  LSH (sign bits of dot products with seeded hyperplanes) buckets the
+  corpus; search touches only the query's bucket. Recall/latency trade
+  via ``n_planes``. At 10^12 rows the bucket table is written once and
+  bucket-pruned at query time (partition pruning on the bucket column).
+* ``embedding_near_dup_pairs`` — cosine near-duplicate pairs inside
+  LSH buckets (embedding-space dedup for training pipelines).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cosine) — exact top-k, deterministic tiebreak on id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy RNG state)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            # map to (-1, 1)
+            row.append(((state / float(1 << 31)) * 2.0 - 1.0))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds a ``bucket`` column: sign-bit signature against seeded planes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket: Column = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(F.col(vec_col), p) >= 0, 1).otherwise(0)
+        bucket = bucket + bit * (1 << i)
+    return embeddings.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's LSH bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * b for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qbucket |= 1 << i
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.where(F.col("bucket") == qbucket)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs within LSH buckets: (id_a, id_b, cosine)."""
+    b = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All built-in JVM expressions —
+column-pruned scans, no shuffles except the stated aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword evidence sets (n-gram heuristic langid);
+# deterministic and SQL-portable (the oracle replicates the same lists)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish tokenizer regex: letter runs, digit runs, or single symbols
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(F.array_distinct(words), arr))
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax of marker-set hits with
+    deterministic tie-break on language code order."""
+    words = F.split("text", " ")
+    structs = F.array(*[
+        F.struct(
+            _marker_hits(words, LANG_MARKERS[code]).alias("hits"),
+            # invert code ordering inside the max so ties pick the
+            # alphabetically-first language
+            F.lit(code).alias("code"),
+        )
+        for code in sorted(LANG_MARKERS, reverse=True)
+    ])
+    best = F.array_max(structs)
+    return documents.select(
+        "doc_id",
+        best["code"].alias("lang_pred"),
+        best["hits"].cast("int").alias("lang_hits"),
+    )
+
+
+def quality_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc quality features + a composite score.
+
+    (doc_id, n_words, n_tokens, avg_word_len, stopword_ratio,
+    digit_ratio, quality_score) — all expressible in ANSI SQL for the
+    oracle; the score is a fixed linear blend.
+    """
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_digit_words = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+    n_tokens = F.regexp_count(F.col("text"), F.lit(TOKEN_RE))
+    avg_word_len = (n_chars - (n_words - 1)) / n_words
+
+    stopword_ratio = F.round(n_stop / n_words, 6)
+    digit_ratio = F.round(n_digit_words / n_words, 6)
+    quality = F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stopword_ratio * 0.3
+        + (1.0 - digit_ratio) * 0.2,
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp_full, fp_sorted_vocab) — md5 of the text and of its
+    sorted distinct vocabulary (order-insensitive content fingerprint)."""
+    words = F.split("text", " ")
+    return documents.select(
+        "doc_id",
+        F.md5("text").alias("fp_full"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words)))).alias(
+            "fp_sorted_vocab"
+        ),
+    )
+
+
+def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
+    """Corpus rollup: (lang, n_docs, total_chars, avg_chars, total_words)."""
+    words = F.split("text", " ")
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+            F.sum(F.size(words)).cast("bigint").alias("total_words"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,89 @@
+"""Pages source: real pages tables and the deterministic documents bridge.
+
+``pages`` schema (BASELINE.json input_hint / SURVEY.md §1.3):
+    url string, warc_ts timestamp, html binary, text string, lang string
+
+At production scale this is `spark.read.format("iceberg").load(...)`;
+in this sandbox it is parquet plus a deterministic synthesis step from
+the driver's ``documents`` tables (FIXTURES.md §5). Synthesis runs as a
+vectorized Arrow batch transform — no per-row Python UDF — so the same
+code path exercises the JVM↔Python transport the extractor uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.pagegen import synth_page, synth_warc_ts
+
+PAGES_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _synth_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls: list[str] = []
+        htmls: list[bytes] = []
+        ts: list[int] = []
+        for doc_id, text, source in zip(doc_ids, texts, sources):
+            url, html = synth_page(doc_id, text, source)
+            urls.append(url)
+            htmls.append(html.encode("utf-8"))
+            ts.append(synth_warc_ts(doc_id) * 1_000_000)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(ts, pa.timestamp("us")),
+                pa.array(htmls, pa.binary()),
+                pa.array(texts, pa.string()),
+                pa.array(langs, pa.string()),
+            ],
+            schema=PAGES_ARROW_SCHEMA,
+        )
+
+
+def synthesize_pages(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, ...) → pages (deterministic)."""
+    return documents.select("doc_id", "text", "source", "lang").mapInArrow(
+        _synth_batches, PAGES_DDL
+    )
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def read_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's canonical input: synthesized pages for this sandbox,
+    `spark.read.parquet(path)` / iceberg for a real pages table."""
+    return synthesize_pages(read_documents(spark, sf_dir))
+
+
+def replicate_documents(documents: DataFrame, copies: int) -> DataFrame:
+    """Deterministically scale up a documents table for bench runs:
+    doc_id' = doc_id * copies + k keeps ids unique and synthesis pure."""
+    if copies <= 1:
+        return documents
+    k = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
+    return (
+        documents.select("doc_id", "text", "source", "lang", k)
+        .withColumn("doc_id", F.col("doc_id") * copies + F.col("k"))
+        .drop("k")
+    )
