@@ -1,0 +1,83 @@
+"""Training-data operators vs DuckDB mini-oracles at sf0.001 (the same
+comparison the driver runs at sf0.01), plus behavioral checks for the
+rows-only operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry
+
+from .conftest import SF_TINY
+from .harness import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(entry.oracle_sql()))
+def test_query_matches_oracle(spark, name):
+    res = compare_query(spark, name, entry.queries()[name],
+                        entry.oracle_sql()[name], SF_TINY)
+    assert res["status"] == "OK", res
+
+
+def test_all_queries_run(spark):
+    oracles = entry.oracle_sql()
+    for name, fn in entry.queries().items():
+        if name in oracles:
+            continue  # covered above
+        df = fn(spark, SF_TINY)
+        assert df.count() >= 0
+
+
+def test_lsh_topk_subset_of_brute_force_ranking(spark):
+    """LSH results must carry true cosines (spot-check vs python)."""
+    import duckdb
+
+    rows = entry._q_similarity_lsh_topk(spark, SF_TINY).collect()
+    emb = {r[0]: r[1] for r in duckdb.sql(
+        f"select vec_id, embedding from '{SF_TINY}/embeddings.parquet'").fetchall()}
+    q = emb[0]
+    for r in rows:
+        v = emb[r.vec_id]
+        dot = sum(float(a) * float(b) for a, b in zip(v, q))
+        cos = dot / (math.sqrt(sum(float(a) ** 2 for a in v))
+                     * math.sqrt(sum(float(b) ** 2 for b in q)))
+        assert abs(cos - r.cosine) < 1e-5
+
+
+def test_media_features_plumbing(spark):
+    from readabilitysax_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media_from_documents,
+    )
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(20)
+    feats = extract_media_features(synth_media_from_documents(docs)).collect()
+    assert len(feats) == 20
+    for f in feats:
+        assert f.decode_ok and f.feat_dim == 2
+        assert 0.0 <= f.feature_0 <= 1.0
+        assert len(f.sha1) == 40
+
+
+def test_exact_dedup_detects_planted_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "different")],
+        "doc_id long, text string")
+    from readabilitysax_spark.operators.dedup import exact_duplicates
+    rows = {r.doc_id: r for r in exact_duplicates(df).collect()}
+    assert rows[1].is_dup is False and rows[2].is_dup is True
+    assert rows[2].keeper_id == 1 and rows[3].group_size == 1
+
+
+def test_minhash_near_dup_sensitivity(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated words about spark shuffles and parquet files here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string")
+    from readabilitysax_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -1,0 +1,124 @@
+"""Spark end-to-end tests: extraction parity with the pure-Python core,
+idempotent resume, skew handling, error quarantine, metrics/lineage
+(SURVEY.md §5.2 items 3-5)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from readabilitysax_spark.core.api import extract
+from readabilitysax_spark.operators.extract import extract_articles
+from readabilitysax_spark.operators.metrics import partition_metrics
+from readabilitysax_spark.plans.pipeline import run_pipeline
+from readabilitysax_spark.sources.pages import read_pages, synthesize_pages
+
+from .conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return read_pages(spark, SF_TINY)
+
+
+def test_pages_schema(pages):
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"]
+    assert dict(pages.dtypes)["html"] == "binary"
+
+
+def test_spark_matches_pure_core(spark, pages):
+    """UDF plumbing adds nothing: per-url text equals core output."""
+    rows = extract_articles(pages, num_partitions=4).collect()
+    sample = {r.url: r for r in rows if int(r.url.rsplit("-", 1)[1]) % 29 == 0}
+    src = {r.url: bytes(r.html) for r in pages.collect() if r.url in sample}
+    assert len(sample) > 10
+    for url, row in sample.items():
+        core = extract(src[url], url=url)
+        assert row.text == core["text"], url
+        assert row.text_length == core["textLength"]
+        assert row.title == core["title"]
+
+
+def test_column_pruned_scan(spark, tmp_path):
+    """The articles plan reads only url+html from a pages table."""
+    p = str(tmp_path / "pages")
+    read_pages(spark, SF_TINY).write.parquet(p)
+    plan = extract_articles(spark.read.parquet(p))._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "html" in read_schema and "url" in read_schema
+    assert "warc_ts" not in read_schema and "lang" not in read_schema
+
+
+def test_resume_idempotent(spark, pages, tmp_path):
+    out = str(tmp_path / "out")
+    r1 = run_pipeline(spark, pages, out, run_id="a", n_buckets=4)
+    assert r1["buckets_done"] == 4
+    n1 = spark.read.parquet(f"{out}/articles").count()
+
+    # simulate a crash after bucket 0..1: drop checkpoints for 2,3 and
+    # leave partial article files in place — rerun must overwrite them
+    r2 = run_pipeline(spark, pages, out, run_id="b", n_buckets=4)
+    assert r2["buckets_skipped"] == 4 and r2["buckets_done"] == 0
+    arts = spark.read.parquet(f"{out}/articles")
+    assert arts.count() == n1
+    assert arts.groupBy("url").count().where("count > 1").count() == 0
+
+
+def test_partial_bucket_overwritten(spark, pages, tmp_path):
+    out = str(tmp_path / "out2")
+    run_pipeline(spark, pages, out, run_id="a", n_buckets=2)
+    # corrupt: delete bucket 1's checkpoint rows → rerun must redo it
+    kept = spark.read.parquet(f"{out}/checkpoints").where(
+        F.col("bucket") != 1).collect()
+    schema = spark.read.parquet(f"{out}/checkpoints").schema
+    shutil.rmtree(f"{out}/checkpoints")
+    spark.createDataFrame(kept, schema).write.parquet(f"{out}/checkpoints")
+    n_before = spark.read.parquet(f"{out}/articles").count()
+    r = run_pipeline(spark, pages, out, run_id="b", n_buckets=2)
+    assert r["buckets_done"] == 1 and r["buckets_skipped"] == 1
+    assert spark.read.parquet(f"{out}/articles").count() == n_before
+
+
+def test_skew_giant_page(spark):
+    big = ("<div class='content'>" + "<p>big, giant page text. </p>" * 5000
+           + "</div>").encode()
+    rows = [("http://s.example/big", bytearray(big))] + [
+        (f"http://s.example/t{i}",
+         bytearray(b"<div class='content'><p>tiny, page body with several words</p></div>"))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_articles(df, num_partitions=4).collect()
+    assert len(out) == 501
+    assert sum(r.error for r in out) == 0
+    giant = [r for r in out if r.url.endswith("/big")][0]
+    assert giant.text_length > 100_000
+
+
+def test_error_quarantine_and_metrics(spark):
+    rows = [
+        ("http://e.example/ok",
+         bytearray(b"<div class='content'><p>good, page body with words here</p></div>")),
+        ("http://e.example/garbage", bytearray(b"\xff\xfe\x00\x01<p")),
+        ("http://e.example/empty", bytearray(b"")),
+        ("http://e.example/null", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    arts = extract_articles(df)
+    m = partition_metrics(arts, "t").collect()
+    assert sum(r.input_rows for r in m) == 4
+    assert sum(r.error_rows for r in m) == 0  # decode-replace, not errors
+    got = {r.url: r for r in arts.collect()}
+    assert got["http://e.example/empty"].text_length == 0
+    assert got["http://e.example/null"].text_length == 0
+
+
+def test_synthesize_is_deterministic_across_plans(spark):
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    a = synthesize_pages(docs).select("url", F.md5("html").alias("h"))
+    b = synthesize_pages(docs.repartition(7)).select("url", F.md5("html").alias("h"))
+    assert a.join(b, "url").where(a["h"] != b["h"]).count() == 0

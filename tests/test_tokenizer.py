@@ -1,0 +1,145 @@
+"""htmlparser2-v10 conformance tests for the scanning tokenizer
+(SURVEY.md §3.5 must-match list)."""
+
+from __future__ import annotations
+
+from readabilitysax_spark.core.tokenizer import ATTR, CLOSE, OPEN, TEXT, tokenize
+
+
+def fmt(src: str):
+    sym = {OPEN: "O", ATTR: "A", TEXT: "T", CLOSE: "C"}
+    return [(sym[e[0]], *e[1:]) for e in tokenize(src)]
+
+
+def test_basic_tree():
+    assert fmt("<p>hi</p>") == [("O", "p"), ("T", "hi"), ("C", "p")]
+
+
+def test_lowercasing_tags_and_attrs():
+    assert fmt("<P CLASS='x'>a</P>") == [
+        ("O", "p"), ("A", "class", "x"), ("T", "a"), ("C", "p")]
+
+
+def test_implied_close_p_and_li():
+    assert fmt("<p>a<p>b") == [
+        ("O", "p"), ("T", "a"), ("C", "p"), ("O", "p"), ("T", "b"), ("C", "p")]
+    assert fmt("<ul><li>a<li>b</ul>") == [
+        ("O", "ul"), ("O", "li"), ("T", "a"), ("C", "li"),
+        ("O", "li"), ("T", "b"), ("C", "li"), ("C", "ul")]
+
+
+def test_implied_close_table_cells():
+    assert fmt("<table><tr><td>a<td>b</table>") == [
+        ("O", "table"), ("O", "tr"), ("O", "td"), ("T", "a"), ("C", "td"),
+        ("O", "td"), ("T", "b"), ("C", "td"), ("C", "tr"), ("C", "table")]
+
+
+def test_block_closes_p():
+    assert fmt("<p>a<div>b</div>") == [
+        ("O", "p"), ("T", "a"), ("C", "p"),
+        ("O", "div"), ("T", "b"), ("C", "div")]
+
+
+def test_void_elements():
+    assert fmt("<br>") == [("O", "br"), ("C", "br")]
+    assert fmt("<img src='a.png'>") == [
+        ("O", "img"), ("A", "src", "a.png"), ("C", "img")]
+
+
+def test_br_close_tag_is_open_plus_close():
+    assert fmt("</br>") == [("O", "br"), ("C", "br")]
+
+
+def test_void_close_tags_ignored():
+    assert fmt("</img>") == []
+
+
+def test_implicit_p_for_stray_close():
+    assert fmt("</p>") == [("O", "p"), ("C", "p")]
+
+
+def test_end_closes_open_stack():
+    assert fmt("<div><span>x") == [
+        ("O", "div"), ("O", "span"), ("T", "x"), ("C", "span"), ("C", "div")]
+
+
+def test_entities_split_text_events():
+    assert fmt("x &amp; y") == [("T", "x "), ("T", "&"), ("T", " y")]
+    assert fmt("&#8217;s") == [("T", "’"), ("T", "s")]
+    # legacy no-semicolon in text
+    assert fmt("a&amp b") == [("T", "a"), ("T", "&"), ("T", " b")]
+    # failed reference stays one chunk
+    assert fmt("a&zzz;b") == [("T", "a&zzz;b")]
+
+
+def test_attribute_entities():
+    assert fmt("<a href=foo&amp;bar>x</a>") == [
+        ("O", "a"), ("A", "href", "foo&bar"), ("T", "x"), ("C", "a")]
+    # attribute rule: legacy entity followed by alnum does NOT decode
+    assert fmt("<a href='a&ampx'>y</a>") == [
+        ("O", "a"), ("A", "href", "a&ampx"), ("T", "y"), ("C", "a")]
+
+
+def test_rawtext_script_style():
+    assert fmt("<script>a<b &amp;</script>t") == [
+        ("O", "script"), ("T", "a<b &amp;"), ("C", "script"), ("T", "t")]
+    assert fmt("<style>p{}</style>") == [
+        ("O", "style"), ("T", "p{}"), ("C", "style")]
+
+
+def test_rcdata_title_textarea_decode():
+    assert fmt("<title>a &amp; b</title>") == [
+        ("O", "title"), ("T", "a "), ("T", "&"), ("T", " b"), ("C", "title")]
+    assert fmt("<textarea><p>&gt;</textarea>") == [
+        ("O", "textarea"), ("T", "<p>"), ("T", ">"), ("C", "textarea")]
+
+
+def test_self_closing_script_not_rawtext():
+    assert fmt("<script/>x</script>") == [
+        ("O", "script"), ("T", "x"), ("C", "script")]
+
+
+def test_html_mode_self_closing_div_stays_open():
+    assert fmt("<div/>x</div>") == [("O", "div"), ("T", "x"), ("C", "div")]
+
+
+def test_foreign_context_self_closing():
+    assert fmt("<svg><circle/></svg>") == [
+        ("O", "svg"), ("O", "circle"), ("C", "circle"), ("C", "svg")]
+
+
+def test_comments_doctype_pi_cdata_ignored():
+    assert fmt("<!-- c --><p>x</p>") == [("O", "p"), ("T", "x"), ("C", "p")]
+    assert fmt("<!doctype html><p>x</p>") == [("O", "p"), ("T", "x"), ("C", "p")]
+    assert fmt("<?php y ?><p>x</p>") == [("O", "p"), ("T", "x"), ("C", "p")]
+    assert fmt("<![CDATA[z]]><p>x</p>") == [("O", "p"), ("T", "x"), ("C", "p")]
+
+
+def test_short_comment():
+    assert fmt("<!--><p>x</p>") == [("O", "p"), ("T", "x"), ("C", "p")]
+
+
+def test_lt_as_text():
+    assert fmt("a<3 b") == [("T", "a"), ("T", "<3 b")]
+    assert fmt("text<") == [("T", "text"), ("T", "<")]
+
+
+def test_duplicate_attributes_all_fire():
+    assert fmt("<a href='x' href='y'>z</a>") == [
+        ("O", "a"), ("A", "href", "x"), ("A", "href", "y"),
+        ("T", "z"), ("C", "a")]
+
+
+def test_unquoted_and_valueless_attributes():
+    assert fmt("<input type=checkbox checked>") == [
+        ("O", "input"), ("A", "type", "checkbox"), ("C", "input")]
+
+
+def test_eof_inside_tag_ignored():
+    assert fmt("<p") == []
+    assert fmt("<p x=") == [("O", "p"), ("C", "p")]
+
+
+def test_rawtext_eof():
+    assert fmt("<script>var x") == [
+        ("O", "script"), ("T", "var x"), ("C", "script")]
