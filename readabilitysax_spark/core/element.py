@@ -64,7 +64,8 @@ class Element:
             if type(child) is str:
                 text_length += js_len(js_trim(child))
                 # reCommas.test + split-count (lib/element.ts:75-78)
-                commas += len(RE_COMMAS.findall(child))
+                if "," in child:
+                    commas += len(RE_COMMAS.findall(child))
                 continue
             if child.name == "a":
                 link_length += child.info_text_length + child.info_link_length

@@ -36,8 +36,13 @@ _RE_PARSEINT = re.compile(f"^[{_JS_WS}]*([+-]?[0-9]+)")
 _BMP_MAX = "￿"
 
 
+_JS_WS_SET = frozenset(_JS_WS)
+
+
 def js_trim(s: str) -> str:
     """String.prototype.trim — trims the JS whitespace set only."""
+    if not s or (s[0] not in _JS_WS_SET and s[-1] not in _JS_WS_SET):
+        return s
     return _RE_TRIM.sub("", s)
 
 

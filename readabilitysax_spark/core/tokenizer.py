@@ -101,6 +101,7 @@ _RCDATA = frozenset(("title", "textarea"))
 _ASCII_ALPHA = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 )
+_WS_SET = frozenset(_WS)
 
 
 def tokenize(html: str) -> list[tuple]:
@@ -139,11 +140,14 @@ def tokenize(html: str) -> list[tuple]:
             if foreign:
                 foreign.pop()
         if name not in VOID_ELEMENTS:
-            pos = -1
-            for idx in range(len(stack) - 1, -1, -1):
-                if stack[idx] == name:
-                    pos = idx
-                    break
+            if stack and stack[-1] == name:
+                pos = len(stack) - 1  # fast path: well-formed close
+            else:
+                pos = -1
+                for idx in range(len(stack) - 1, -1, -1):
+                    if stack[idx] == name:
+                        pos = idx
+                        break
             if pos != -1:
                 for _ in range(len(stack) - pos):
                     ev_append((CLOSE, stack.pop()))
@@ -184,7 +188,8 @@ def tokenize(html: str) -> list[tuple]:
             self_closing = False
             tag_ok = False  # did we reach '>'
             while p < n:
-                p = _RE_WS.match(html, p).end()
+                if html[p] in _WS_SET:
+                    p = _RE_WS.match(html, p).end()
                 if p >= n:
                     break
                 c = html[p]
@@ -208,9 +213,12 @@ def tokenize(html: str) -> list[tuple]:
                 attr_name = am.group().lower()
                 p = am.end()
                 # AfterAttributeName: skip whitespace
-                p = _RE_WS.match(html, p).end()
+                if p < n and html[p] in _WS_SET:
+                    p = _RE_WS.match(html, p).end()
                 if p < n and html[p] == "=":
-                    p = _RE_WS.match(html, p + 1).end()
+                    p += 1
+                    if p < n and html[p] in _WS_SET:
+                        p = _RE_WS.match(html, p).end()
                     if p >= n:
                         break
                     q = html[p]
