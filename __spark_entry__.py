@@ -47,12 +47,20 @@ def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _articles(spark, sf_dir)
 
 
-def _q_extract_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_extract_articles_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 output path (getHTML serialization) end-to-end."""
     pages = read_pages(spark, sf_dir)
-    arts = extract_articles(pages)
-    joined = arts.join(pages.select("url", "lang"), "url")
+    arts = extract_articles(pages, output_type="html")
+    return arts.select("url", "title", F.col("text").alias("html_out"))
+
+
+def _q_extract_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lang rides THROUGH the UDF (passthrough) — no url-keyed join of
+    # two billion-row sides at scale
+    pages = read_pages(spark, sf_dir)
+    arts = extract_articles(pages, passthrough=("lang",))
     return (
-        joined.groupBy("lang")
+        arts.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("text_length").alias("total_text_length"),
@@ -136,6 +144,7 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
+        "extract_articles_html": _q_extract_articles_html,
         "extract_by_lang": _q_extract_by_lang,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash_sigs,
@@ -228,6 +237,32 @@ def oracle_sql() -> dict[str, str]:
         _EXPECTED_ARTICLES_CTE
         + "SELECT url, title, text, text_length, score, next_page, skip_level, error FROM exp"
     )
+
+    q["extract_articles_html"] = """
+        WITH d AS (
+          SELECT doc_id, text, source, length(text) AS l,
+                 (260 + length(text) - 1) // length(text) AS m
+          FROM documents
+        )
+        SELECT
+          'http://' || source || '.example/articles/doc-' || doc_id AS url,
+          array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
+          -- single-child candidate descent (readability-sax.ts:621-624):
+          -- m=1 with no variant sibling lands on the <p> itself → bare text
+          CASE
+            WHEN m = 1 AND doc_id % 5 NOT IN (1, 2) THEN text
+            ELSE
+              repeat('<p>' || text || '</p>', m) ||
+              CASE
+                WHEN doc_id % 5 = 1 THEN
+                  '<script src="http://' || source || '.example/i/icon.png"></script>'
+                WHEN doc_id % 5 = 2 THEN
+                  '<iframe src="http://www.youtube.com/embed/x' || doc_id || '"></iframe>'
+                ELSE ''
+              END
+          END AS html_out
+        FROM d
+    """
 
     q["extract_by_lang"] = (
         _EXPECTED_ARTICLES_CTE

@@ -60,35 +60,40 @@ _OUT_BYTE_BUDGET = 32 << 20
 _OUT_ROW_BUDGET = 1024
 
 
-def _make_extract_fn(settings: dict | None, output_type: str):
+def _make_extract_fn(
+    settings: dict | None,
+    output_type: str,
+    out_schema: pa.Schema,
+    passthrough: tuple[str, ...],
+):
+    text_key = "html" if output_type == "html" else "text"
+
     def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         t0 = time.perf_counter()
 
-        cols: dict[str, list] = {name: [] for name in ARTICLES_ARROW_SCHEMA.names}
+        cols: dict[str, list] = {name: [] for name in out_schema.names}
         pending_bytes = 0
 
         def flush() -> pa.RecordBatch:
             nonlocal cols, pending_bytes
             batch = pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols[f.name], f.type)
-                    for f in ARTICLES_ARROW_SCHEMA
-                ],
-                schema=ARTICLES_ARROW_SCHEMA,
+                [pa.array(cols[f.name], f.type) for f in out_schema],
+                schema=out_schema,
             )
-            cols = {name: [] for name in ARTICLES_ARROW_SCHEMA.names}
+            cols = {name: [] for name in out_schema.names}
             pending_bytes = 0
             return batch
 
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
-            for url, html in zip(urls, htmls):
+            extras = {name: batch.column(name).to_pylist() for name in passthrough}
+            for row_idx, (url, html) in enumerate(zip(urls, htmls)):
                 html = html or b""
                 art = extract(html, url=url, type_=output_type, settings=settings)
-                text = art.get("text", "") or ""
+                text = art.get(text_key, "") or ""
                 cols["url"].append(url)
                 cols["title"].append(art.get("title", ""))
                 cols["text"].append(text)
@@ -102,6 +107,8 @@ def _make_extract_fn(settings: dict | None, output_type: str):
                 cols["wall_ms"].append(
                     int((time.perf_counter() - t0) * 1000)
                 )
+                for name in passthrough:
+                    cols[name].append(extras[name][row_idx])
                 pending_bytes += len(text) + len(html) // 16
                 if (
                     pending_bytes >= _OUT_BYTE_BUDGET
@@ -128,17 +135,41 @@ def extract_articles(
     output_type: str = "text",
     settings: dict | None = None,
     num_partitions: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages(url, html, ...) → articles DataFrame.
 
-    Column pruning: only (url, html) are selected, so Catalyst pushes
-    the 2-column projection into the scan (check `.explain`:
-    ReadSchema contains just url, html when reading a pages table).
+    Column pruning: only (url, html) plus requested ``passthrough``
+    columns are selected, so Catalyst pushes the projection into the
+    scan (check `.explain`: ReadSchema contains just those columns).
+
+    ``passthrough`` rides narrow columns (lang, warc_ts, ...) through
+    the UDF so downstream rollups need NO join back to the pages
+    table — at 10^12 rows a url-keyed join is a full shuffle of both
+    sides, which this avoids entirely.
     """
-    src = pages.select("url", "html")
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    src = pages.select("url", "html", *passthrough)
     if num_partitions:
         src = salted_repartition(src, num_partitions)
+
+    out_schema = ARTICLES_ARROW_SCHEMA
+    ddl = ARTICLES_DDL
+    if passthrough:
+        extra_fields = [
+            pa.field(f.name, to_arrow_type(f.dataType))
+            for f in pages.schema.fields
+            if f.name in passthrough
+        ]
+        out_schema = pa.schema(list(ARTICLES_ARROW_SCHEMA) + extra_fields)
+        extra_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in pages.schema.fields
+            if f.name in passthrough
+        )
+        ddl = f"{ARTICLES_DDL}, {extra_ddl}"
     return src.mapInArrow(
-        _make_extract_fn(settings, output_type),
-        ARTICLES_DDL,
+        _make_extract_fn(settings, output_type, out_schema, passthrough),
+        ddl,
     )
