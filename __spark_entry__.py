@@ -71,6 +71,29 @@ def _q_extract_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_skip_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23 adaptive re-execution: sub-250-char pages must fall through
+    skip levels 1→3 inside the Spark UDF (lib/process.ts:22-29)."""
+    docs = read_documents(spark, sf_dir)
+    tiny_pages = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example/articles/doc-"), F.col("doc_id"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<div class='content'><p>"),
+                F.substring("text", 1, 40),
+                F.lit("</p></div>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return extract_articles(tiny_pages).select(
+        "url", "skip_level", "text", "text_length", "error"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(read_documents(spark, sf_dir))
 
@@ -146,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_articles": _q_extract_articles,
         "extract_articles_html": _q_extract_articles_html,
         "extract_by_lang": _q_extract_by_lang,
+        "extract_skip_fallback": _q_extract_skip_fallback,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash_sigs,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -275,6 +299,15 @@ def oracle_sql() -> dict[str, str]:
         FROM exp GROUP BY lang ORDER BY lang
         """
     )
+
+    q["extract_skip_fallback"] = """
+        SELECT 'http://' || source || '.example/articles/doc-' || doc_id AS url,
+               CAST(3 AS INT) AS skip_level,
+               trim(substring(text, 1, 40)) AS text,
+               CAST(length(trim(substring(text, 1, 40))) AS BIGINT) AS text_length,
+               FALSE AS error
+        FROM documents
+    """
 
     q["dedup_exact"] = """
         SELECT doc_id, md5(text) AS text_hash,
