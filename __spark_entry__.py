@@ -157,6 +157,27 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.9, dim=dim)
 
 
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-telemetry shape: tumbling event-time window × type rollup
+    with JSON prop extraction — the relational/streaming shell the
+    reference lacks (SURVEY §2.4), expressed declaratively."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 6
+            ).alias("avg_k"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media_from_documents(read_documents(spark, sf_dir))
     return multimodal.extract_media_features(media).select(
@@ -182,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "events_hourly": _q_events_hourly,
         "media_features": _q_media_features,
     }
 
@@ -415,6 +437,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(round(dot / (ne * nq), 6) AS DOUBLE) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+    q["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(round(SUM(value), 6) AS DOUBLE) AS total_value,
+               CAST(round(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS DOUBLE) AS avg_k
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     q["media_features"] = """
