@@ -75,8 +75,20 @@ def decode_entity(s: str, pos: int, in_attribute: bool) -> tuple[str, int] | Non
             i += 1
         return _replace_codepoint(cp), i
 
-    # named reference: longest match against the WHATWG table
-    chunk = s[i : i + _MAX_NAME_LEN]
+    # named reference: longest match against the WHATWG table.
+    # Every with-semicolon key ends at its ';', so the first ';' in the
+    # window is the only possible with-semicolon match — try it first
+    # (one dict hit for the overwhelmingly common case), then fall back
+    # to legacy (no-semicolon) prefixes, which must be shorter than it.
+    semi = s.find(";", i, i + _MAX_NAME_LEN)
+    if semi != -1:
+        key = s[i : semi + 1]
+        if key in _HTML5:
+            return _HTML5[key], semi + 1
+        limit = min(semi - i, _MAX_NAME_LEN)
+    else:
+        limit = min(n - i, _MAX_NAME_LEN)
+    chunk = s[i : i + limit]
     for ln in range(len(chunk), 0, -1):
         key = chunk[:ln]
         if key in _HTML5:

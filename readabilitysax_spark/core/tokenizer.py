@@ -85,6 +85,9 @@ _RE_TAG_NAME = re.compile(r"[^\t\n\f\r />]+")
 # closing tag names end only at '>' or whitespace ('/' is a name char)
 _RE_CLOSING_NAME = re.compile(r"[^\t\n\f\r >]+")
 _RE_ATTR_NAME = re.compile(r"[^\t\n\f\r =/>]+")
+# htmlparser2 quirk: a '=' in attribute-name START position is consumed
+# into the name ("<div =x>" → attribute named "=x")
+_RE_ATTR_NAME_EQ = re.compile(r"=[^\t\n\f\r =/>]*")
 _RE_WS = re.compile(r"[\t\n\f\r ]*")
 _RE_UNQUOTED_VALUE = re.compile(r"[^\t\n\f\r >&]*")
 
@@ -208,8 +211,8 @@ def tokenize(html: str) -> list[tuple]:
                         break
                     p = q
                     continue
-                # attribute name (may be empty when c == '=')
-                am = _RE_ATTR_NAME.match(html, p)
+                # attribute name ('=' in first position joins the name)
+                am = (_RE_ATTR_NAME_EQ if c == "=" else _RE_ATTR_NAME).match(html, p)
                 attr_name = am.group().lower()
                 p = am.end()
                 # AfterAttributeName: skip whitespace
