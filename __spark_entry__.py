@@ -180,6 +180,33 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REGION_DIM = [(f"src{i}", f"region{i % 4}") for i in range(20)]
+
+
+def _q_docs_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast small-dim join: 20-row source→region dim broadcast
+    against the documents fact (BroadcastHashJoin, no fact shuffle)."""
+    dim = spark.createDataFrame(_REGION_DIM, "source string, region string")
+    docs = read_documents(spark, sf_dir)
+    return (
+        docs.join(F.broadcast(dim), "source")
+        .groupBy("region")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("region")
+    )
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (window functions over events)."""
+    from readabilitysax_spark.operators.sessionize import user_session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_session_stats(ev, gap_minutes=30)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media_from_documents(read_documents(spark, sf_dir))
     return multimodal.extract_media_features(media).select(
@@ -206,6 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "docs_by_region": _q_docs_by_region,
         "media_features": _q_media_features,
     }
 
@@ -449,6 +478,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS DOUBLE) AS avg_k
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    q["user_sessions"] = """
+        WITH s AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events,
+               CAST(round(CAST(COUNT(*) AS DOUBLE) / SUM(is_new), 6) AS DOUBLE)
+                 AS avg_events_per_session
+        FROM s GROUP BY user_id ORDER BY user_id
+    """
+
+    region_values = ", ".join(f"('{s}', '{r}')" for s, r in _REGION_DIM)
+    q["docs_by_region"] = f"""
+        WITH dim(source, region) AS (VALUES {region_values})
+        SELECT region, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents JOIN dim USING (source)
+        GROUP BY region ORDER BY region
     """
 
     q["media_features"] = """
