@@ -151,6 +151,31 @@ def _q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read_embeddings(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") != 0), [float(v) for v in qvec],
+        n_lists=8, n_probe=2, k=10,
+    )
+
+
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality-filter + exact-dedup →
+    the corpus a pretraining run would actually consume."""
+    docs = read_documents(spark, sf_dir)
+    quality = textstats.quality_stats(docs)
+    dups = dedup.exact_duplicates(docs)
+    return (
+        docs.join(quality, "doc_id")
+        .join(dups.select("doc_id", "is_dup"), "doc_id")
+        .where((~F.col("is_dup")) & (F.col("quality_score") >= 0.5)
+               & (F.col("n_words") >= 10))
+        .select("doc_id", "lang", "n_words", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read_embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").head()[0])
@@ -231,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_by_lang": _q_corpus_stats,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
+        "similarity_ivf_topk": _q_similarity_ivf_topk,
+        "training_corpus": _q_training_corpus,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
@@ -468,6 +495,30 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(round(dot / (ne * nq), 6) AS DOUBLE) AS cosine
         FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+    q["training_corpus"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+                 length(text) AS n_chars,
+                 doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+          FROM documents
+        ), s AS (
+          SELECT doc_id, lang, is_dup,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(round(CAST(length(list_filter(w, x -> list_contains({list(textstats.STOPWORDS)!r}, x))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS stopword_ratio,
+                 CAST(round(CAST(length(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS digit_ratio
+          FROM t
+        ), sc AS (
+          SELECT doc_id, lang, is_dup, n_words,
+                 CAST(round(least(n_words / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3
+                            + (1.0 - digit_ratio) * 0.2, 6) AS DOUBLE) AS quality_score
+          FROM s
+        )
+        SELECT doc_id, lang, n_words, quality_score
+        FROM sc
+        WHERE NOT is_dup AND quality_score >= 0.5 AND n_words >= 10
+        ORDER BY doc_id
     """
 
     q["events_hourly"] = """

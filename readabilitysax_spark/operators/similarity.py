@@ -121,6 +121,89 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: adds ``list_id`` = argmax cosine over
+    the centroid table (JVM struct-max, no UDF)."""
+    structs = []
+    for i, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(v)) for v in c])
+        structs.append(
+            F.struct(
+                F.round(cosine(F.col(vec_col), cv), 9).alias("sim"),
+                F.lit(i).alias("list_id"),
+            )
+        )
+    best = F.array_max(F.array(*structs))
+    return embeddings.withColumn("list_id", best["list_id"])
+
+
+def train_centroids_deterministic(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: one Lloyd step from fixed seeds
+    (the first ``n_lists`` vectors by id). At 10^12 scale this is the
+    classic sample-train-broadcast pattern — the train set is tiny and
+    collected once, the assignment stays fully distributed."""
+    seeds = [
+        [float(v) for v in r[0]]
+        for r in embeddings.orderBy(id_col).select(vec_col).head(n_lists)
+    ]
+    assigned = ivf_assign(embeddings, seeds, vec_col)
+    dim = len(seeds[0])
+    avg_cols = [
+        F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    rows = assigned.groupBy("list_id").agg(*avg_cols).collect()
+    by_list = {r["list_id"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+    return [by_list.get(i, seeds[i]) for i in range(len(seeds))]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_lists: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank only vectors in the ``n_probe`` inverted lists
+    closest to the query. At scale the assignment is precomputed and
+    the list table is partitioned by ``list_id`` (partition pruning
+    turns the probe into a tiny scan)."""
+    centroids = train_centroids_deterministic(embeddings, n_lists, id_col, vec_col)
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probes = sorted(
+        range(len(centroids)),
+        key=lambda i: (-cos_py(query_vec, centroids[i]), i),
+    )[:n_probe]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.where(F.col("list_id").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -81,3 +81,30 @@ def test_minhash_near_dup_sensitivity(spark):
              for r in ngram_jaccard_pairs(df).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe=4 of 8 lists must recover most of the exact
+    top-10 (near-random embeddings: recall won't be 1.0, but the
+    plumbing must return true cosines and reasonable recall)."""
+    import duckdb
+
+    from readabilitysax_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where("vec_id = 0").head().embedding]
+    rest = emb.where("vec_id <> 0")
+    exact = {r.vec_id for r in brute_force_topk(rest, qvec, k=10).collect()}
+    approx = ivf_topk(rest, qvec, n_lists=8, n_probe=4, k=10).collect()
+    got = {r.vec_id for r in approx}
+    assert len(got & exact) >= 4  # probing half the lists
+    # cosines must be true values
+    e = {r[0]: r[1] for r in duckdb.sql(
+        f"select vec_id, embedding from '{SF_TINY}/embeddings.parquet'").fetchall()}
+    import math
+    for r in approx[:3]:
+        v = e[r.vec_id]
+        cos = (sum(float(a) * float(b) for a, b in zip(v, qvec))
+               / (math.sqrt(sum(float(a)**2 for a in v))
+                  * math.sqrt(sum(b * b for b in qvec))))
+        assert abs(cos - r.cosine) < 1e-5
