@@ -48,12 +48,10 @@ def js_trim(s: str) -> str:
 
 def js_len(s: str) -> int:
     """String.prototype.length — UTF-16 code units (astral chars count 2)."""
-    n = len(s)
-    if not s.isascii():
-        for ch in s:
-            if ch > _BMP_MAX:
-                n += 1
-    return n
+    if s.isascii():
+        return len(s)
+    # C-speed: UTF-16 byte length / 2 counts surrogate pairs as 2
+    return len(s.encode("utf-16-le", "surrogatepass")) >> 1
 
 
 def js_parse_int(s: str) -> int | None:
