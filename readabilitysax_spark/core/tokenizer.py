@@ -186,6 +186,29 @@ def tokenize(html: str) -> list[tuple]:
             name = raw_name.lower()
             emit_open(name)
 
+            # fast path: attribute-less tag (the common case in prose)
+            if html[name_end] == ">":
+                if name in VOID_ELEMENTS:
+                    ev_append((CLOSE, name))
+                i = sec = name_end + 1
+                if name in _SPECIAL_END:
+                    m2 = _SPECIAL_END[name].search(html, i)
+                    if m2 is None:
+                        if name in _RCDATA:
+                            emit_text(i, n)
+                        else:
+                            emit_raw_text(i, n)
+                        i = sec = n
+                        break
+                    if name in _RCDATA:
+                        emit_text(i, m2.start())
+                    else:
+                        emit_raw_text(i, m2.start())
+                    emit_explicit_close(name)
+                    gt = html.find(">", m2.end())
+                    i = sec = (gt + 1) if gt >= 0 else n
+                continue
+
             # ---- attribute loop ----
             p = name_end
             self_closing = False

@@ -150,6 +150,11 @@ def extract_articles(
     """
     from pyspark.sql.pandas.types import to_arrow_type
 
+    clash = set(passthrough) & set(ARTICLES_ARROW_SCHEMA.names)
+    if clash:
+        raise ValueError(
+            f"passthrough columns collide with article columns: {sorted(clash)}"
+        )
     src = pages.select("url", "html", *passthrough)
     if num_partitions:
         src = salted_repartition(src, num_partitions)
