@@ -14,7 +14,9 @@ import re
 
 # get-base-url.ts:1-6
 _RE_PAGE_IN_URL = re.compile(r"[_-]?p[a-zA-Z]*[_-]?\d{1,2}\Z", re.ASCII)
-_RE_BAD_FIRST = re.compile(r"^(?:[^a-z]{0,3}|index|\d+)\Z", re.I)
+# re.ASCII: the reference's /\d+/ matches ASCII digits only (the re.I
+# case class is a-z only, unaffected by ASCII mode)
+_RE_BAD_FIRST = re.compile(r"^(?:[^a-z]{0,3}|index|\d+)\Z", re.I | re.ASCII)
 _RE_NO_LETTERS = re.compile(r"[^a-zA-Z]")
 _RE_PARAMETERS = re.compile(r"\?.*")
 _RE_EXTENSION = re.compile(r"00,|\.[a-zA-Z]+\Z")

@@ -117,8 +117,15 @@ def minhash_candidate_pairs(
     documents: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (doc_a < doc_b) via band join."""
+    """Distinct candidate near-dup pairs (doc_a < doc_b) via band join.
+
+    ``max_bucket_size`` caps the self-join width: a degenerate bucket
+    (boilerplate shingle shared by millions of docs) would otherwise
+    produce O(n²) pairs in that bucket alone. Buckets wider than the
+    cap are dropped from pair generation — audit what would be dropped
+    with ``oversize_lsh_buckets`` (no-silent-caps rule)."""
     sigs = minhash_signatures(documents, num_hashes, shingle_words)
     bands = sigs.select(
         "doc_id",
@@ -129,6 +136,14 @@ def minhash_candidate_pairs(
             ])
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        wide = (
+            bands.groupBy("bucket").count()
+            .where(F.col("count") > max_bucket_size)
+        )
+        bands = bands.join(
+            F.broadcast(wide.select("bucket")), "bucket", "left_anti"
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -136,6 +151,27 @@ def minhash_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def oversize_lsh_buckets(
+    documents: DataFrame,
+    max_bucket_size: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """(bucket, count) band-buckets that ``minhash_candidate_pairs``
+    skips at the same cap — run/log this before a capped dedup pass."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_words)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(k)), F.col(f"minhash_{k}"))
+                for k in range(num_hashes)
+            ])
+        ).alias("bucket"),
+    )
+    return bands.groupBy("bucket").count().where(F.col("count") > max_bucket_size)
 
 
 def ngram_jaccard_pairs(

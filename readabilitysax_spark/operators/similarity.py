@@ -91,6 +91,36 @@ def lsh_bucket_ids(
     return embeddings.withColumn("bucket", bucket.cast("int"))
 
 
+def query_bucket(query_vec: list[float], dim: int, n_planes: int = 8,
+                 seed: int = 42) -> int:
+    """Driver-side LSH bucket of a query vector (same planes as
+    ``lsh_bucket_ids``; left-to-right float sum matches the JVM/DuckDB
+    ``aggregate``/``list_dot_product`` evaluation order)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * b for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qbucket |= 1 << i
+    return qbucket
+
+
+def probe_buckets(qbucket: int, n_planes: int, probe_radius: int = 0) -> list[int]:
+    """Multi-probe LSH: all buckets within Hamming distance
+    ``probe_radius`` of the query bucket. radius 1 → n_planes+1 probes.
+    This is the standard recall lever (multi-probe LSH, Lv et al. 2007):
+    near neighbors that land one sign-flip away are still searched
+    without growing the bucket table."""
+    probes = [qbucket]
+    if probe_radius >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    if probe_radius >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.append(qbucket ^ (1 << i) ^ (1 << j))
+    return sorted(set(probes))
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -98,20 +128,21 @@ def lsh_bucket_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    qbucket = 0
-    for i, plane in enumerate(planes):
-        dot = sum(float(a) * b for a, b in zip(query_vec, plane))
-        if dot >= 0:
-            qbucket |= 1 << i
+    """Approximate top-k: rank only within the query's LSH bucket(s).
+
+    At 10^12 rows the bucketed table is partitioned by ``bucket`` so
+    the IN-list prunes to ``len(probes)`` partitions; the scan touches
+    ~(probes / 2^n_planes) of the corpus."""
+    qbucket = query_bucket(query_vec, dim, n_planes, seed)
+    probes = probe_buckets(qbucket, n_planes, probe_radius)
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        bucketed.where(F.col("bucket") == qbucket)
+        bucketed.where(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
@@ -212,9 +243,19 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Cosine near-dup pairs within LSH buckets: (id_a, id_b, cosine)."""
+    """Cosine near-dup pairs within LSH buckets: (id_a, id_b, cosine).
+
+    ``max_bucket_size`` bounds the within-bucket self-join: a
+    degenerate mega-bucket (e.g. a constant-vector cluster) would make
+    the pair join quadratic in that bucket, so buckets wider than the
+    cap are excluded from pair generation. NOT silent: callers can
+    count what was dropped with ``oversize_buckets`` before running."""
     b = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col)
+    if max_bucket_size is not None:
+        wide = b.groupBy("bucket").count().where(F.col("count") > max_bucket_size)
+        b = b.join(F.broadcast(wide.select("bucket")), "bucket", "left_anti")
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
     )
@@ -228,3 +269,39 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def oversize_buckets(
+    embeddings: DataFrame,
+    max_bucket_size: int,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(bucket, count) rows that ``embedding_near_dup_pairs`` will skip
+    at the same cap — the audit/logging side of the no-silent-caps rule."""
+    b = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col)
+    return b.groupBy("bucket").count().where(F.col("count") > max_bucket_size)
+
+
+# ---- DuckDB-oracle SQL helpers (mirror the exact Spark arithmetic) ----
+
+def hyperplanes_sql_literals(dim: int, n_planes: int, seed: int = 42) -> list[str]:
+    """The seeded hyperplanes as DuckDB DOUBLE[] literals (full repr
+    precision, so both engines compare the same doubles)."""
+    return [
+        "[" + ", ".join(repr(v) for v in plane) + "]"
+        for plane in _hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def bucket_sql_expr(vec_expr: str, dim: int, n_planes: int, seed: int = 42) -> str:
+    """DuckDB expression computing the same LSH bucket as
+    ``lsh_bucket_ids`` for a DOUBLE[]-typed ``vec_expr``."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(hyperplanes_sql_literals(dim, n_planes, seed))
+    ]
+    return "(" + " + ".join(terms) + ")"

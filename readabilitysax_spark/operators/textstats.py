@@ -30,14 +30,17 @@ def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
 
 
 def language_id(documents: DataFrame) -> DataFrame:
-    """(doc_id, lang_pred, lang_hits) — argmax of marker-set hits with
-    deterministic tie-break on language code order."""
+    """(doc_id, lang_pred, lang_hits) — argmax of marker-set hits.
+
+    Tie-break is deterministic: ``array_max`` compares the structs
+    field-by-field (hits, then code), so equal hit counts pick the
+    lexicographically-LARGEST language code (e.g. 'zh' over 'en').
+    The oracle replicates the same struct-max, so both engines agree.
+    """
     words = F.split("text", " ")
     structs = F.array(*[
         F.struct(
             _marker_hits(words, LANG_MARKERS[code]).alias("hits"),
-            # invert code ordering inside the max so ties pick the
-            # alphabetically-first language
             F.lit(code).alias("code"),
         )
         for code in sorted(LANG_MARKERS, reverse=True)

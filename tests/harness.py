@@ -53,7 +53,7 @@ def compare_query(spark, name: str, qfn, sql: str | None, sf_dir: str) -> dict:
     srows = [tuple(r) for r in sdf.collect()]
     result = {"name": name, "rows": len(srows), "cols": scols}
     if sql is None:
-        result["status"] = "rows-only" if len(srows) >= 0 else "empty"
+        result["status"] = "rows-only" if len(srows) > 0 else "EMPTY-RESULT"
         return result
     con = duck_connect(sf_dir)
     ddf = con.execute(sql)

@@ -35,6 +35,9 @@ def test_lsh_topk_subset_of_brute_force_ranking(spark):
     import duckdb
 
     rows = entry._q_similarity_lsh_topk(spark, SF_TINY).collect()
+    # recall guard: multi-probe must yield a full top-k at sandbox scale
+    # (a zero-recall bucket miss used to pass vacuously — ADVICE r1)
+    assert len(rows) == 10
     emb = {r[0]: r[1] for r in duckdb.sql(
         f"select vec_id, embedding from '{SF_TINY}/embeddings.parquet'").fetchall()}
     q = emb[0]
@@ -108,3 +111,58 @@ def test_ivf_topk_recall(spark):
                / (math.sqrt(sum(float(a)**2 for a in v))
                   * math.sqrt(sum(b * b for b in qvec))))
         assert abs(cos - r.cosine) < 1e-5
+
+
+def test_lsh_bucket_cap_bounds_pair_join(spark):
+    """A degenerate cluster (1k identical docs → one mega-bucket per
+    band) must not go quadratic: with a cap the pair join skips the
+    oversize buckets, and the audit query reports exactly what was
+    skipped (no-silent-caps)."""
+    from pyspark.sql import functions as F
+
+    from readabilitysax_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        oversize_lsh_buckets,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate nav text repeated on every single page"
+        ).alias("text"),
+    )
+    capped = minhash_candidate_pairs(docs, max_bucket_size=50)
+    assert capped.count() == 0  # all buckets oversize → no pairs, no blowup
+    audit = oversize_lsh_buckets(docs, max_bucket_size=50).collect()
+    assert audit and all(r["count"] == 1000 for r in audit)
+    # uncapped on a small slice still finds the dups (cap is the only gate)
+    some = minhash_candidate_pairs(
+        docs.limit(20), max_bucket_size=None
+    ).count()
+    assert some == 20 * 19 / 2
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """Same cap semantics on the embedding-space near-dup join."""
+    from pyspark.sql import functions as F
+
+    from readabilitysax_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        oversize_buckets,
+    )
+
+    vec = [1.0] + [0.0] * 7
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in vec]).alias("embedding"),
+    )
+    capped = embedding_near_dup_pairs(
+        emb, threshold=0.9, dim=8, max_bucket_size=50
+    )
+    assert capped.count() == 0
+    audit = oversize_buckets(emb, max_bucket_size=50, dim=8).collect()
+    assert audit and audit[0]["count"] == 200
+    uncapped = embedding_near_dup_pairs(
+        emb.limit(10), threshold=0.9, dim=8, max_bucket_size=None
+    )
+    assert uncapped.count() == 10 * 9 / 2
