@@ -238,9 +238,13 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode end-to-end: synthesized valid PNG/WAV blobs →
+    mapInPandas feature extraction; every output is an analytic
+    function of doc_id (see multimodal.py synthesis sizing)."""
     media = multimodal.synth_media_from_documents(read_documents(spark, sf_dir))
     return multimodal.extract_media_features(media).select(
-        "media_id", "media_type", "n_bytes"
+        "media_id", "media_type", "n_bytes", "decode_ok", "width",
+        "height", "sample_rate", "n_samples", "duration_s",
     )
 
 
@@ -561,12 +565,29 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY region ORDER BY region
     """
 
+    # the analytic inverse of multimodal.synth_png/synth_wav/synth_mp4:
+    # PNG bytes = 68 + height*(1+width) (stored-IDAT), WAV = 44 + 2*frames
     q["media_features"] = """
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
                     ELSE 'video/mp4' END AS media_type,
-               CAST(5 + length(text) AS BIGINT) AS n_bytes
+               CAST(CASE WHEN doc_id % 3 = 0
+                           THEN 68 + (1 + doc_id % 48) * (2 + doc_id % 64)
+                         WHEN doc_id % 3 = 1
+                           THEN 44 + 2 * (400 + doc_id % 100)
+                         ELSE 16 + length(text) END AS BIGINT) AS n_bytes,
+               doc_id % 3 <> 2 AS decode_ok,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 64 END AS INT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 48 END AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 1
+                         THEN 8000 + (doc_id % 5) * 1000 END AS INT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 3 = 1
+                         THEN 400 + doc_id % 100 END AS BIGINT) AS n_samples,
+               CAST(CASE WHEN doc_id % 3 = 1
+                         THEN round((400.0 + doc_id % 100)
+                                    / (8000 + (doc_id % 5) * 1000), 6)
+                    END AS DOUBLE) AS duration_s
         FROM documents
     """
 

@@ -10,14 +10,8 @@ deliberate improvement over the reference, which re-tokenizes each pass
 
 from __future__ import annotations
 
-import sys
-
 from .readability import Readability
 from .tokenizer import replay, tokenize
-
-# deep pathological markup nests the element tree; candidate-selection
-# and serialization recurse over it
-_RECURSION_LIMIT = 100_000
 
 _ERROR_ARTICLE = {
     "title": "Error",
@@ -68,12 +62,12 @@ def extract(
 ) -> dict:
     """Safe single-document extraction for the Spark UDF hot path.
 
-    Decodes bytes as UTF-8 (replace), guards recursion, and converts
-    any per-document failure into an error article (the pattern of
-    lib/get-url.ts:33-44) so one bad page never kills an Arrow batch.
+    Decodes bytes as UTF-8 (replace) and converts any per-document
+    failure into an error article (the pattern of lib/get-url.ts:33-44)
+    so one bad page never kills an Arrow batch. All tree walks in the
+    core are iterative (element.py), so adversarially deep nesting is
+    bounded by heap, not the C stack — no recursion-limit games needed.
     """
-    if sys.getrecursionlimit() < _RECURSION_LIMIT:
-        sys.setrecursionlimit(_RECURSION_LIMIT)
     try:
         if isinstance(html, (bytes, bytearray, memoryview)):
             html = bytes(html).decode("utf-8", "replace")

@@ -83,20 +83,33 @@ class Element:
         if link_length > 0:
             self.info_density = link_length / (text_length + link_length)
 
+    # All tree walks below are ITERATIVE (explicit stacks): adversarial
+    # 50k-deep nesting must never overflow the C stack inside a Spark
+    # worker — one such page would kill the whole Arrow batch. Each is
+    # a mechanical unrolling of the reference's recursion, preserving
+    # visit order and the lazy score mutations exactly.
+
     def get_outer_html(self) -> str:
-        parts = ["<", self.name]
-        for name, value in self.attributes.items():
-            parts.append(f' {name}="{value}"')
-        if not self.children:
-            if self.name in _SELF_CLOSING:
-                parts.append("/>")
-            else:
-                parts.append(f"></{self.name}>")
-            return "".join(parts)
-        parts.append(">")
-        parts.append(self.get_inner_html())
-        parts.append(f"</{self.name}>")
-        return "".join(parts)
+        out: list[str] = []
+        stack: list[tuple[bool, "Element | str"]] = [(False, self)]
+        while stack:
+            is_text, item = stack.pop()
+            if is_text:
+                out.append(item)  # type: ignore[arg-type]
+                continue
+            el: Element = item  # type: ignore[assignment]
+            out.append("<" + el.name)
+            for name, value in el.attributes.items():
+                out.append(f' {name}="{value}"')
+            if not el.children:
+                out.append("/>" if el.name in _SELF_CLOSING
+                           else f"></{el.name}>")
+                continue
+            out.append(">")
+            stack.append((True, f"</{el.name}>"))
+            for child in reversed(el.children):
+                stack.append((type(child) is str, child))
+        return "".join(out)
 
     def get_inner_html(self) -> str:
         return "".join(
@@ -106,41 +119,73 @@ class Element:
 
     def get_formatted_text(self) -> str:
         out: list[str] = []
-        for child in self.children:
+        stack = [iter(self.children)]
+        tails: list[str | None] = [None]
+        while stack:
+            child = next(stack[-1], None)
+            if child is None:
+                stack.pop()
+                tail = tails.pop()
+                if tail is not None:
+                    out.append(tail)
+                continue
             if type(child) is str:
                 out.append(RE_WHITESPACE.sub(" ", child))
             else:
-                out.append(child.get_formatted_text())
-                if child.name in _NEWLINES_AFTER:
-                    out.append("\n")
+                stack.append(iter(child.children))
+                tails.append("\n" if child.name in _NEWLINES_AFTER else None)
         return "".join(out)
 
     def to_string(self) -> str:
-        """Array.prototype.join("") over children (Element → recursive)."""
-        return "".join(
-            child if type(child) is str else child.to_string()
-            for child in self.children
-        )
+        """Array.prototype.join("") over children (depth-first text)."""
+        out: list[str] = []
+        stack = [iter(self.children)]
+        while stack:
+            child = next(stack[-1], None)
+            if child is None:
+                stack.pop()
+            elif type(child) is str:
+                out.append(child)
+            else:
+                stack.append(iter(child.children))
+        return "".join(out)
 
     def get_top_candidate(self) -> "Element | None":
-        top_score = -math.inf
-        top_candidate: Element | None = None
-        for child in self.children:
-            if type(child) is str:
+        """Iterative emulation of lib/element.ts:144-174 (Q9), one stack
+        frame per recursive call: per-level local top_score starting at
+        -inf, ``total_score`` written only to that level's running
+        winners (the sibling-merge step later reads those non-global
+        ``total_score`` values, so the local bookkeeping is semantics,
+        not an optimization), and the bubbled winner compared strictly.
+        """
+        # frame = [children_iterator, local_top_score, local_top_candidate]
+        stack: list[list] = [[iter(self.children), -math.inf, None]]
+        result: Element | None = None
+        while stack:
+            frame = stack[-1]
+            descend: Element | None = None
+            for child in frame[0]:
+                if type(child) is str:
+                    continue
+                if child.is_candidate:
+                    # lazily add tag-name base points (Q9: only on visit)
+                    child.tag_score += TAG_SCORES.get(child.name, 0)
+                    score = math.floor(
+                        (child.tag_score + child.attribute_score)
+                        * (1 - child.info_density)
+                    )
+                    if frame[1] < score:
+                        child.total_score = score
+                        frame[1] = score
+                        frame[2] = child
+                descend = child
+                break
+            if descend is not None:
+                stack.append([iter(descend.children), -math.inf, None])
                 continue
-            if child.is_candidate:
-                # lazily add tag-name base points (Q9: only on visit)
-                child.tag_score += TAG_SCORES.get(child.name, 0)
-                score = math.floor(
-                    (child.tag_score + child.attribute_score)
-                    * (1 - child.info_density)
-                )
-                if top_score < score:
-                    child.total_score = score
-                    top_score = score
-                    top_candidate = child
-            child_candidate = child.get_top_candidate()
-            if child_candidate is not None and top_score < child_candidate.total_score:
-                top_score = child_candidate.total_score
-                top_candidate = child_candidate
-        return top_candidate
+            stack.pop()
+            result = frame[2]
+            if stack and result is not None and stack[-1][1] < result.total_score:
+                stack[-1][1] = result.total_score
+                stack[-1][2] = result
+        return result

@@ -267,6 +267,12 @@ def tokenize(html: str) -> list[tuple]:
                         while vend < n and html[vend] == "&":
                             vend2 = _RE_UNQUOTED_VALUE.match(html, vend + 1).end()
                             vend = vend2
+                        if vend >= n:
+                            # EOF inside an unquoted value: htmlparser2's
+                            # handleTrailingData ignores InAttributeValueNq,
+                            # so the attribute is dropped with the tag
+                            p = n
+                            break
                         value_raw = html[vstart:vend]
                         if attr_name and value_raw:
                             value = decode_attribute_value(value_raw)

@@ -1,78 +1,142 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The image/audio codec libraries are not available in this container,
-so the *decode* step is stubbed behind ``decode_enabled()`` with a
-clearly-marked deterministic fake — but everything Spark-side is real
-and tested: the binary schema, the batch shapes, the UDF signatures,
-and the partitioning story (media blobs are large and size-skewed, so
-the same salted repartition as HTML extraction applies).
+The decode step is REAL for two modalities, pure stdlib (no PIL/ffmpeg
+in this container):
 
-Production swap-in: replace ``_fake_decode`` with PIL/ffmpeg calls;
-nothing else changes.
+* image/png  — PNG signature + IHDR chunk parse (width, height, bit
+  depth, color type) with CRC verification; IDAT is not rasterized.
+* audio/wav  — RIFF/WAVE parse via stdlib ``wave`` (channels, sample
+  rate, sample width, frame count → duration).
+* video/mp4  — container-level only: the ftyp box (major brand) is
+  parsed, but frame decode needs a codec stack this container lacks,
+  so ``decode_ok`` is False for video by design (documented stub).
+
+Spark-side design is the real point at 100 TB: binary payloads stay in
+one Arrow-batched pass, the feature output prunes the payload column so
+downstream stages never shuffle the heavy bytes, and media blobs being
+large/size-skewed reuse the same salted-repartition story as HTML
+extraction (operators/extract.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_DDL = "media_id bigint, media_type string, payload binary, width int, height int"
+MEDIA_DDL = "media_id bigint, media_type string, payload binary"
 FEATURES_DDL = (
     "media_id bigint, media_type string, n_bytes bigint, sha1 string, "
-    "feat_dim int, feature_0 double, feature_1 double, decode_ok boolean"
+    "decode_ok boolean, width int, height int, bit_depth int, "
+    "color_type int, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_s double, container_brand string"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_EMPTY = {
+    "width": None, "height": None, "bit_depth": None, "color_type": None,
+    "sample_rate": None, "n_channels": None, "n_samples": None,
+    "duration_s": None, "container_brand": None,
+}
 
-def decode_enabled() -> bool:
-    """True when a real codec stack (PIL / ffmpeg) is importable."""
+
+def decode_png(payload: bytes) -> dict | None:
+    """Parse PNG signature + IHDR (the spec's first chunk): returns
+    width/height/bit_depth/color_type, or None if not a valid PNG.
+    CRC of the IHDR chunk is verified (zlib.crc32 per the PNG spec)."""
+    if len(payload) < 33 or not payload.startswith(_PNG_SIG):
+        return None
+    (length,) = struct.unpack(">I", payload[8:12])
+    if payload[12:16] != b"IHDR" or length != 13:
+        return None
+    ihdr = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF != crc:
+        return None
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", ihdr[:10])
+    if width == 0 or height == 0:
+        return None
+    out = dict(_EMPTY)
+    out.update(width=width, height=height, bit_depth=bit_depth,
+               color_type=color_type)
+    return out
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Parse a RIFF/WAVE header with stdlib ``wave``: sample rate,
+    channels, frame count, duration. Returns None on malformed input."""
     try:
-        import PIL  # noqa: F401
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            out = dict(_EMPTY)
+            out.update(
+                sample_rate=rate,
+                n_channels=w.getnchannels(),
+                n_samples=n,
+                duration_s=round(n / rate, 6) if rate else None,
+            )
+            return out
+    except (wave.Error, EOFError, struct.error):
+        return None
 
-        return True
-    except ImportError:
-        return False
+
+def parse_mp4_ftyp(payload: bytes) -> dict | None:
+    """Container-level MP4 parse: the leading ftyp box's major brand.
+    Frame/codec decode is intentionally NOT implemented (no codec stack
+    in this container) — callers get decode_ok=False for video."""
+    if len(payload) < 12:
+        return None
+    (size,) = struct.unpack(">I", payload[0:4])
+    if payload[4:8] != b"ftyp" or size < 12 or size > len(payload):
+        return None
+    out = dict(_EMPTY)
+    out["container_brand"] = payload[8:12].decode("ascii", "replace")
+    return out
 
 
-def _fake_decode(payload: bytes) -> tuple[float, float]:
-    """DETERMINISTIC FAKE decode: stands in for pixel decoding.
-
-    Real implementation raises the bar, not the plumbing:
-        raise NotImplementedError("image decode requires PIL/ffmpeg")
-    The fake derives two stable 'features' from the payload digest so
-    the pipeline shape (binary → fixed-width features) is testable.
-    """
-    digest = hashlib.sha1(payload).digest()
-    return (
-        int.from_bytes(digest[:4], "big") / 2**32,
-        int.from_bytes(digest[4:8], "big") / 2**32,
-    )
+def decode_media(media_type: str, payload: bytes) -> tuple[bool, dict]:
+    """(decode_ok, features) for one blob. Video is container-parse
+    only → decode_ok False even when the ftyp box is readable."""
+    if media_type == "image/png":
+        f = decode_png(payload)
+        return (True, f) if f else (False, dict(_EMPTY))
+    if media_type == "audio/wav":
+        f = decode_wav(payload)
+        return (True, f) if f else (False, dict(_EMPTY))
+    f = parse_mp4_ftyp(payload)
+    return False, (f if f else dict(_EMPTY))
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {
-            "media_id": pdf["media_id"],
-            "media_type": pdf["media_type"],
-            "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
-            "sha1": pdf["payload"].map(
-                lambda b: hashlib.sha1(b or b"").hexdigest()
-            ),
-        }
-        feats = pdf["payload"].map(lambda b: _fake_decode(b or b""))
-        out["feat_dim"] = 2
-        out["feature_0"] = feats.map(lambda t: t[0])
-        out["feature_1"] = feats.map(lambda t: t[1])
-        out["decode_ok"] = True
-        yield pd.DataFrame(out)
+        rows = []
+        for mid, mtype, payload in zip(
+            pdf["media_id"], pdf["media_type"], pdf["payload"]
+        ):
+            payload = bytes(payload or b"")
+            ok, feats = decode_media(mtype, payload)
+            rows.append({
+                "media_id": mid,
+                "media_type": mtype,
+                "n_bytes": len(payload),
+                "sha1": hashlib.sha1(payload).hexdigest(),
+                "decode_ok": ok,
+                **feats,
+            })
+        yield pd.DataFrame(rows)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
-    """media(media_id, media_type, payload, ...) → fixed-width features.
+    """media(media_id, media_type, payload) → fixed-width features.
 
     Arrow-batched mapInPandas; the payload column is pruned out of the
     result, so downstream stages never re-shuffle the heavy bytes.
@@ -82,18 +146,78 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     )
 
 
+# ---- deterministic synthesis (test fixture; real, decodable bytes) ----
+#
+# Sized so every decoded feature is an analytic function of doc_id and
+# therefore DuckDB-oracle-checkable:
+#   png: width = 1 + id%64, height = 1 + id%48, 8-bit grayscale,
+#        IDAT stored (zlib level 0) → n_bytes = 68 + height*(1+width)
+#   wav: mono 16-bit, rate = 8000 + (id%5)*1000, frames = 400 + id%100
+#        → n_bytes = 44 + 2*frames (stdlib wave header is 44 bytes)
+#   mp4: 16-byte ftyp('isom') box + utf-8 text → n_bytes = 16 + len(text)
+
+def synth_png(doc_id: int) -> bytes:
+    width = 1 + doc_id % 64
+    height = 1 + doc_id % 48
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    raw = b"".join(
+        b"\x00" + bytes((doc_id + x + y) % 256 for x in range(width))
+        for y in range(height)
+    )
+    idat = zlib.compress(raw, 0)  # stored blocks → size is analytic
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def synth_wav(doc_id: int) -> bytes:
+    rate = 8000 + (doc_id % 5) * 1000
+    n_frames = 400 + doc_id % 100
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", ((doc_id * 131 + i * 17) % 2048) - 1024)
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+def synth_mp4(doc_id: int, text: str) -> bytes:
+    body = text.encode("utf-8")
+    return struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", doc_id & 0xFFFFFFFF) + body
+
+
+def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            kind = doc_id % 3
+            if kind == 0:
+                mtype, payload = "image/png", synth_png(doc_id)
+            elif kind == 1:
+                mtype, payload = "audio/wav", synth_wav(doc_id)
+            else:
+                mtype, payload = "video/mp4", synth_mp4(doc_id, text)
+            rows.append(
+                {"media_id": doc_id, "media_type": mtype, "payload": payload}
+            )
+        yield pd.DataFrame(rows)
+
+
 def synth_media_from_documents(documents: DataFrame) -> DataFrame:
-    """Deterministic opaque media blobs from documents (test fixture):
-    payload = utf-8 text bytes prefixed with a fake magic header."""
-    return documents.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-        .alias("media_type"),
-        F.concat(
-            F.lit(b"\x89FAKE"), F.encode(F.col("text"), "utf-8")
-        ).alias("payload"),
-        (F.col("doc_id") % 1920).cast("int").alias("width"),
-        (F.col("doc_id") % 1080).cast("int").alias("height"),
+    """Deterministic REAL media blobs from documents: valid PNG (IHDR +
+    stored-IDAT), valid WAV (stdlib wave), and an ftyp-prefixed opaque
+    video blob — every decoded feature is an analytic function of
+    doc_id, so the end-to-end decode is oracle-checkable."""
+    return documents.select("doc_id", "text").mapInPandas(
+        _synth_batches, MEDIA_DDL
     )

@@ -84,11 +84,19 @@ def run_pipeline(
             .partitionBy("bucket")
             .parquet(articles_dir)
         )
-        # metrics from the written data (one scan of the narrow columns)
+        # metrics from the written data (one scan of the narrow columns);
+        # dynamic partition overwrite (same as articles) so a crash between
+        # this write and the checkpoint commit can't duplicate metrics rows
+        # on resume — the re-run replaces the bucket's metrics partition
         written = spark.read.parquet(articles_dir).where(F.col("bucket") == bucket)
-        partition_metrics(written, run_id).withColumn(
-            "bucket", F.lit(bucket)
-        ).write.mode("append").parquet(metrics_dir)
+        (
+            partition_metrics(written, run_id)
+            .withColumn("bucket", F.lit(bucket))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(metrics_dir)
+        )
 
         spark.createDataFrame(
             [(run_id, bucket, "done")], "run_id string, bucket int, status string"

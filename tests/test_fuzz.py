@@ -80,3 +80,38 @@ def test_extract_total(html):
 def test_extract_total_on_bytes(data):
     art = extract(data)
     assert isinstance(art["text"], str)
+
+
+# -- pathological depth: tree walks must be heap-bound, not C-stack-bound --
+
+_deep_page = st.builds(
+    lambda depth, tag, payload: (
+        f"<{tag}>" * depth
+        + "<p>" + payload + " words, more text here again, commas. </p>"
+        + f"</{tag}>" * depth
+    ),
+    st.integers(min_value=1_000, max_value=15_000),
+    st.sampled_from(["div", "section", "span", "blockquote"]),
+    st.text(min_size=0, max_size=80),
+)
+
+
+@given(_deep_page)
+@settings(max_examples=10, deadline=None)
+def test_extract_survives_pathological_depth(html):
+    """10k+-deep nesting yields an article (or error row), never a
+    RecursionError that would kill a Spark worker's Arrow batch."""
+    art = extract(html, type_="html")
+    assert not art["error"]
+    assert art["textLength"] > 0
+
+
+def test_extract_50k_deep_nesting_text_and_html():
+    deep = ("<div>" * 50_000
+            + "<p>" + "deep text with words, commas, and more, again. " * 10
+            + "</p>" + "</div>" * 50_000)
+    t = extract(deep)
+    assert not t["error"] and t["textLength"] > 200
+    # single-child candidate descent lands on the <p> itself → bare text
+    h = extract(deep, type_="html")
+    assert not h["error"] and "deep text with words" in h["html"]

@@ -49,18 +49,46 @@ def test_lsh_topk_subset_of_brute_force_ranking(spark):
         assert abs(cos - r.cosine) < 1e-5
 
 
-def test_media_features_plumbing(spark):
+def test_media_features_real_decode(spark):
+    """End-to-end: synthesized valid PNG/WAV decode to real dimensions
+    through the Arrow-batched mapInPandas stage."""
     from readabilitysax_spark.operators.multimodal import (
         extract_media_features,
         synth_media_from_documents,
     )
-    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(20)
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(21)
     feats = extract_media_features(synth_media_from_documents(docs)).collect()
-    assert len(feats) == 20
+    assert len(feats) == 21
     for f in feats:
-        assert f.decode_ok and f.feat_dim == 2
-        assert 0.0 <= f.feature_0 <= 1.0
         assert len(f.sha1) == 40
+        mid = f.media_id
+        if f.media_type == "image/png":
+            assert f.decode_ok
+            assert f.width == 1 + mid % 64 and f.height == 1 + mid % 48
+            assert f.bit_depth == 8 and f.color_type == 0
+        elif f.media_type == "audio/wav":
+            assert f.decode_ok
+            assert f.sample_rate == 8000 + (mid % 5) * 1000
+            assert f.n_samples == 400 + mid % 100
+            assert abs(f.duration_s - f.n_samples / f.sample_rate) < 1e-6
+        else:
+            assert not f.decode_ok  # video decode is a documented stub
+            assert f.container_brand == "isom"
+
+
+def test_media_decoders_reject_garbage():
+    from readabilitysax_spark.operators import multimodal as mm
+
+    assert mm.decode_png(b"not a png") is None
+    assert mm.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30) is None
+    assert mm.decode_wav(b"RIFFxxxxWAVE") is None
+    assert mm.parse_mp4_ftyp(b"tiny") is None
+    # corrupted IHDR CRC must be rejected
+    png = bytearray(mm.synth_png(7))
+    png[30] ^= 0xFF
+    assert mm.decode_png(bytes(png)) is None
+    ok, feats = mm.decode_media("image/png", mm.synth_png(12))
+    assert ok and feats["width"] == 13 and feats["height"] == 13
 
 
 def test_exact_dedup_detects_planted_dup(spark):

@@ -78,9 +78,16 @@ def test_partial_bucket_overwritten(spark, pages, tmp_path):
     shutil.rmtree(f"{out}/checkpoints")
     spark.createDataFrame(kept, schema).write.parquet(f"{out}/checkpoints")
     n_before = spark.read.parquet(f"{out}/articles").count()
+    m_before = spark.read.parquet(f"{out}/metrics").where("bucket = 1").count()
     r = run_pipeline(spark, pages, out, run_id="b", n_buckets=2)
     assert r["buckets_done"] == 1 and r["buckets_skipped"] == 1
     assert spark.read.parquet(f"{out}/articles").count() == n_before
+    # metrics are dynamic-partition-overwritten too: the redone bucket's
+    # rows are replaced, never appended twice (crash between metrics
+    # write and checkpoint commit must not duplicate metrics on resume)
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.where("bucket = 1").count() == m_before
+    assert set(r.run_id for r in metrics.where("bucket = 1").collect()) == {"b"}
 
 
 def test_skew_giant_page(spark):

@@ -143,3 +143,15 @@ def test_eof_inside_tag_ignored():
 def test_rawtext_eof():
     assert fmt("<script>var x") == [
         ("O", "script"), ("T", "var x"), ("C", "script")]
+
+
+def test_unquoted_attr_value_at_eof_dropped():
+    """htmlparser2 v10 handleTrailingData ignores InAttributeValueNq:
+    an unquoted value terminated by end-of-input never fires ATTR."""
+    assert tokenize("<div class=foo") == [(OPEN, "div"), (CLOSE, "div")]
+    assert not any(e[0] == ATTR for e in tokenize("<a href=x&amp"))
+    # but a ws-terminated attribute before the EOF has already fired
+    ev = tokenize("<div class=foo bar")
+    assert (ATTR, "class", "foo") in ev
+    # and a completed tag still emits the value (entity decoded)
+    assert (ATTR, "href", "x&") in tokenize("<a href=x&amp>y</a>")
