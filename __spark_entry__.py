@@ -114,6 +114,12 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(read_documents(spark, sf_dir))
 
 
+def _q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width simhash near-dup: 64-bit fingerprint, 4-band
+    bucket join, exact Hamming filter (Manku et al. WWW'07 shape)."""
+    return dedup.simhash_near_dup_pairs(read_documents(spark, sf_dir))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(read_documents(spark, sf_dir))
 
@@ -258,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _q_dedup_minhash_sigs,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64_pairs": _q_dedup_simhash64_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
@@ -422,6 +429,30 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["dedup_simhash"] = _simhash_sql(16)
+
+    q["dedup_simhash64_pairs"] = f"""
+        WITH sh AS (
+          SELECT d.doc_id AS doc_id,
+                 CAST({dedup.simhash_sql_expr("w.word", 64)} AS BIGINT) AS simhash
+          FROM documents d, unnest(string_split(d.text, ' ')) AS w(word)
+          GROUP BY d.doc_id
+        ), bands AS (
+          SELECT doc_id, simhash, CAST(i AS INT) AS band,
+                 (simhash >> (i * 16)) & 65535 AS bv
+          FROM sh, range(4) AS r(i)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS sa, b.simhash AS sb
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                       AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS INT) AS hamming
+          FROM pairs
+        ) WHERE hamming <= 8
+    """
 
     q["dedup_ngram_jaccard"] = f"""
         WITH sigs AS ({_minhash_select(dedup.DEFAULT_NUM_HASHES)}),

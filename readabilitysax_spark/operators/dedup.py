@@ -210,11 +210,11 @@ def simhash_sql_expr(word_expr: str, bits: int = 16) -> str:
     ``bits``-wide simhash over a pre-exploded word column ``word_expr``
     (wrap with the engine's unnest/explode and GROUP BY doc).
 
-    Uses only md5/substring/strpos/%/CASE/SUM — identical semantics
+    Uses only md5/substring/instr/%/CASE/SUM — identical semantics
     under Spark SQL and DuckDB, which is what lets the DuckDB oracle
-    verify the Spark operator bit-for-bit. Kept to 16 bits by default:
-    the expression is O(bits) wide; production simhash-64 uses the
-    same plan shape with more terms.
+    verify the Spark operator bit-for-bit. At ``bits=64`` the MSB term
+    is the two's-complement value -2^63 so the fingerprint stays inside
+    signed BIGINT on both engines.
     """
     bit_terms = []
     for b in range(bits):
@@ -222,15 +222,19 @@ def simhash_sql_expr(word_expr: str, bits: int = 16) -> str:
         power = 2 ** (3 - b % 4)
         nib = f"instr('0123456789abcdef', substring(md5({word_expr}), {hx}, 1)) - 1"
         bit = f"CASE WHEN ({nib}) % {power * 2} >= {power} THEN 1 ELSE -1 END"
+        weight = -(2 ** 63) if (bits == 64 and b == 0) else 2 ** (bits - 1 - b)
         bit_terms.append(
-            f"CASE WHEN SUM({bit}) > 0 THEN {2 ** (bits - 1 - b)} ELSE 0 END"
+            f"CASE WHEN SUM({bit}) > 0 THEN CAST({weight} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
     bits_sum = " + ".join(bit_terms)
     return bits_sum  # to be used inside: SELECT doc_id, <this> FROM ... exploded words w
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
-    """Spark-side simhash via the same arithmetic (JVM expressions)."""
+    """Spark-side simhash via the same arithmetic (JVM expressions).
+
+    ``bits=64`` is the production width (two's-complement MSB, signed
+    BIGINT); smaller widths keep the identical plan shape."""
     words = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).withColumn("h", F.md5("word"))
@@ -240,8 +244,10 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         power = 2 ** (3 - b % 4)
         nib = F.expr(f"instr('0123456789abcdef', substring(h, {hx}, 1)) - 1")
         bit = F.when((nib % (power * 2)) >= power, 1).otherwise(-1)
+        weight = -(2 ** 63) if (bits == 64 and b == 0) else 2 ** (bits - 1 - b)
         aggs.append(
-            F.when(F.sum(bit) > 0, 2 ** (bits - 1 - b)).otherwise(0).alias(f"b{b}")
+            F.when(F.sum(bit) > 0, F.lit(weight).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")).alias(f"b{b}")
         )
     per_doc = words.groupBy("doc_id").agg(*aggs)
     total = None
@@ -249,3 +255,59 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         c = F.col(f"b{b}")
         total = c if total is None else total + c
     return per_doc.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    bits: int = 64,
+    n_bands: int = 4,
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — simhash near-dup pairs.
+
+    The classic two-stage shape (Manku et al., WWW'07 pattern): band
+    the ``bits``-wide fingerprint into ``n_bands`` chunks, bucket-join
+    docs sharing any chunk (a pair within Hamming distance d < n_bands
+    shares ≥1 exact band by pigeonhole when d < n_bands), then filter
+    candidates by exact Hamming distance via bit_count(xor). Never
+    all-pairs; bucket width capped like the minhash band join.
+    """
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sh = simhash(documents, bits)
+    # (x >> s) & mask is shift-mode agnostic (mask strips sign-extension)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(
+                ":", F.lit(str(i)),
+                F.shiftright("simhash", i * band_width).bitwiseAND(F.lit(mask)),
+            )
+            for i in range(n_bands)
+        ])).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        wide = bands.groupBy("bucket").count().where(F.col("count") > max_bucket_size)
+        bands = bands.join(F.broadcast(wide.select("bucket")), "bucket", "left_anti")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -65,6 +65,7 @@ def _make_extract_fn(
     output_type: str,
     out_schema: pa.Schema,
     passthrough: tuple[str, ...],
+    resolve_url_col: str | None = None,
 ):
     text_key = "html" if output_type == "html" else "text"
 
@@ -89,10 +90,20 @@ def _make_extract_fn(
         for batch in batches:
             urls = batch.column("url").to_pylist()
             htmls = batch.column("html").to_pylist()
+            # redirect semantics (get-url.ts:79-85): when the table
+            # carries a post-redirect final URL, IT drives base-URL /
+            # next-page resolution while the request url stays the key
+            resolves = (
+                batch.column(resolve_url_col).to_pylist()
+                if resolve_url_col else urls
+            )
             extras = {name: batch.column(name).to_pylist() for name in passthrough}
             for row_idx, (url, html) in enumerate(zip(urls, htmls)):
                 html = html or b""
-                art = extract(html, url=url, type_=output_type, settings=settings)
+                art = extract(
+                    html, url=resolves[row_idx] or url,
+                    type_=output_type, settings=settings,
+                )
                 text = art.get(text_key, "") or ""
                 cols["url"].append(url)
                 cols["title"].append(art.get("title", ""))
@@ -136,6 +147,7 @@ def extract_articles(
     settings: dict | None = None,
     num_partitions: int | None = None,
     passthrough: tuple[str, ...] = (),
+    resolve_url_col: str | None = None,
 ) -> DataFrame:
     """pages(url, html, ...) → articles DataFrame.
 
@@ -147,6 +159,11 @@ def extract_articles(
     the UDF so downstream rollups need NO join back to the pages
     table — at 10^12 rows a url-keyed join is a full shuffle of both
     sides, which this avoids entirely.
+
+    ``resolve_url_col``: name of a post-redirect final-URL column; when
+    set, that URL drives base-URL/next-page resolution (the reference
+    updates pageURL on redirects, lib/get-url.ts:79-85) while the
+    request ``url`` remains the output key.
     """
     from pyspark.sql.pandas.types import to_arrow_type
 
@@ -155,7 +172,11 @@ def extract_articles(
         raise ValueError(
             f"passthrough columns collide with article columns: {sorted(clash)}"
         )
-    src = pages.select("url", "html", *passthrough)
+    extra_src = (
+        [resolve_url_col]
+        if resolve_url_col and resolve_url_col not in passthrough else []
+    )
+    src = pages.select("url", "html", *extra_src, *passthrough)
     if num_partitions:
         src = salted_repartition(src, num_partitions)
 
@@ -175,6 +196,8 @@ def extract_articles(
         )
         ddl = f"{ARTICLES_DDL}, {extra_ddl}"
     return src.mapInArrow(
-        _make_extract_fn(settings, output_type, out_schema, passthrough),
+        _make_extract_fn(
+            settings, output_type, out_schema, passthrough, resolve_url_col
+        ),
         ddl,
     )

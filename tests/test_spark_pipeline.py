@@ -129,3 +129,26 @@ def test_synthesize_is_deterministic_across_plans(spark):
     a = synthesize_pages(docs).select("url", F.md5("html").alias("h"))
     b = synthesize_pages(docs.repartition(7)).select("url", F.md5("html").alias("h"))
     assert a.join(b, "url").where(a["h"] != b["h"]).count() == 0
+
+
+def test_redirect_final_url_drives_resolution(spark):
+    """SRC3 redirect semantics (lib/get-url.ts:79-85): when the pages
+    table carries a post-redirect final_url, next-page/link resolution
+    uses it, while the request url remains the output key."""
+    html = ("<div class='content'><p>" + "body text, with commas, words. " * 8
+            + "</p></div><div class='pagination'><a href='/posts/x-7/page/2'>2</a></div>")
+    rows = [("http://short.example/r/42",            # request url (the key)
+             "http://cdn.example/posts/x-7",          # post-redirect final url
+             bytearray(html.encode()))]
+    df = spark.createDataFrame(
+        rows, "url string, final_url string, html binary")
+    out = extract_articles(df, resolve_url_col="final_url").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.url == "http://short.example/r/42"       # key preserved
+    assert r.next_page == "http://cdn.example/posts/x-7/page/2"  # resolved vs final
+    # null final_url falls back to the request url as resolution base
+    rows2 = [("http://a.example/posts/x-7", None, bytearray(html.encode()))]
+    df2 = spark.createDataFrame(rows2, "url string, final_url string, html binary")
+    r2 = extract_articles(df2, resolve_url_col="final_url").collect()[0]
+    assert r2.next_page == "http://a.example/posts/x-7/page/2"
