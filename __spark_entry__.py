@@ -19,7 +19,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from readabilitysax_spark.operators import dedup, multimodal, similarity, textstats
+from readabilitysax_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from readabilitysax_spark.operators.extract import extract_articles
 from readabilitysax_spark.sources.pages import read_documents, read_pages
 
@@ -118,6 +124,36 @@ def _q_dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width simhash near-dup: 64-bit fingerprint, 4-band
     bucket join, exact Hamming filter (Manku et al. WWW'07 shape)."""
     return dedup.simhash_near_dup_pairs(read_documents(spark, sf_dir))
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components → canonical doc per cluster."""
+    return dedup.near_dup_clusters(
+        read_documents(spark, sf_dir), threshold=0.4
+    ).orderBy("doc_id")
+
+
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _q_corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling (keep 100% en, 50% de,
+    25% fr, 10% rest) — nested/reproducible, filter-only plan."""
+    docs = read_documents(spark, sf_dir)
+    return corpus.stratified_sample(
+        docs, _MIX_RATES, default_rate=_MIX_DEFAULT
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+_PACK_BUDGET = 512
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing layout via scalable two-pass prefix sum."""
+    return corpus.pack_sequences(
+        read_documents(spark, sf_dir), budget=_PACK_BUDGET
+    ).orderBy("doc_id")
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64_pairs": _q_dedup_simhash64_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "corpus_sample_mixture": _q_corpus_sample_mixture,
+        "pack_sequences": _q_pack_sequences,
         "lang_id": _q_lang_id,
         "text_quality": _q_text_quality,
         "fingerprints": _q_fingerprints,
@@ -479,6 +518,92 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs
         JOIN ssets sa ON sa.doc_id = doc_a
         JOIN ssets sb ON sb.doc_id = doc_b
+    """
+
+    # near-dup clusters: jaccard-pair edges (raw threshold, matching the
+    # Spark filter-before-round) + recursive min-label reachability
+    _jp = f"""
+        WITH sigs AS ({_minhash_select(dedup.DEFAULT_NUM_HASHES)}),
+        bandsj AS (
+            SELECT doc_id, band, band_hash FROM sigs
+            UNPIVOT (band_hash FOR band IN ({
+                ", ".join(f"minhash_{k} AS '{k}'" for k in range(dedup.DEFAULT_NUM_HASHES))
+            }))
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bandsj a JOIN bandsj b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        ssets AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS sset
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN ssets sa ON sa.doc_id = doc_a
+        JOIN ssets sb ON sb.doc_id = doc_b
+        WHERE CAST(length(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+              / length(list_distinct(list_concat(sa.sset, sb.sset))) >= 0.4
+    """
+    q["dedup_clusters"] = f"""
+        WITH RECURSIVE jp AS ({_jp}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM jp
+        ),
+        reach (node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        lab AS (
+          SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY node
+        )
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM lab ORDER BY doc_id
+    """
+
+    mix_case = " ".join(
+        f"WHEN '{k}' THEN '{corpus.sample_threshold_hex(r)}'"
+        for k, r in sorted(_MIX_RATES.items())
+    )
+    q["corpus_sample_mixture"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang {mix_case}
+                   ELSE '{corpus.sample_threshold_hex(_MIX_DEFAULT)}' END
+        ORDER BY doc_id
+    """
+
+    q["pack_sequences"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(regexp_extract_all(text, '{textstats.TOKEN_RE}')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS BIGINT) AS start_offset
+          FROM t
+        ), p AS (
+          SELECT doc_id, n_tokens, start_offset,
+                 CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS first_pack,
+                 CAST(CASE WHEN n_tokens > 0
+                           THEN (start_offset + n_tokens - 1) // {_PACK_BUDGET}
+                           ELSE start_offset // {_PACK_BUDGET}
+                      END AS BIGINT) AS last_pack
+          FROM c
+        )
+        SELECT doc_id, n_tokens, start_offset, first_pack, last_pack,
+               CAST(last_pack - first_pack + 1 AS INT) AS n_packs
+        FROM p ORDER BY doc_id
     """
 
     q["lang_id"] = _lang_id_sql()

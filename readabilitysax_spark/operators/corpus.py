@@ -1,0 +1,114 @@
+"""Training-corpus assembly operators: deterministic stratified
+sampling and GPT-style sequence packing.
+
+Both are pure Catalyst plans (no Python UDFs) and both are engineered
+to be DuckDB-oracle-checkable: sampling uses a lexicographic md5
+threshold (identical string comparison in any engine), packing uses a
+global token prefix-sum that Spark computes with a scalable two-pass
+scheme instead of a single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import TOKEN_RE
+
+_HEX_SPAN = 16 ** 8  # first 8 md5 hex chars ≈ uniform in [0, 16^8)
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """The 8-hex-char cutoff for a keep-rate in [0, 1]: a doc is kept
+    iff substring(md5(key),1,8) < this string. String comparison over
+    lowercase hex is identical in Spark, DuckDB, and every engine —
+    no integer-width or hash-function portability games."""
+    n = min(max(int(rate * _HEX_SPAN), 0), _HEX_SPAN)
+    return format(n, "08x") if n < _HEX_SPAN else "g"  # 'g' > 'f' keeps all
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (training-mixture
+    control: e.g. keep 100% en, 50% de, 10% everything else).
+
+    Keep decision = md5 of the doc id under a per-stratum hex cutoff:
+    reproducible across runs/engines/partitionings, no RNG state, and
+    embarrassingly parallel (a filter in the scan stage — no shuffle,
+    no sampling pass). Rates compose: re-running with a lower rate
+    yields a strict subset (nested samples — the property you want for
+    scaling-law subsets)."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    cutoff = F.lit(sample_threshold_hex(default_rate))
+    for key, rate in sorted(rates.items()):
+        cutoff = F.when(
+            F.col(key_col) == key, F.lit(sample_threshold_hex(rate))
+        ).otherwise(cutoff)
+    return documents.where(h < cutoff)
+
+
+def token_count(text_col: str = "text"):
+    """BPE-ish token count (shared regex with textstats.quality_stats)."""
+    return F.regexp_count(F.col(text_col), F.lit(TOKEN_RE))
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """GPT-style packing layout: documents are concatenated in id order
+    and sliced into fixed ``budget``-token windows; returns per doc
+    (doc_id, n_tokens, start_offset, first_pack, last_pack, n_packs)
+    where pack k covers token offsets [k*budget, (k+1)*budget).
+
+    The global prefix-sum is the interesting part at 10^12 rows: a
+    single ``Window.orderBy(id)`` would funnel the whole table through
+    ONE partition. Instead: range-partition by id, cumsum *within*
+    each partition (parallel windows), collect only the per-partition
+    totals (one tiny row per partition), prefix-sum those on the
+    driver, and broadcast-join the per-partition base offsets back.
+    Two passes, no global sort bottleneck, byte-identical to the naive
+    global window (which the DuckDB oracle uses).
+    """
+    toks = documents.select(
+        F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens")
+    ).repartitionByRange(num_partitions, id_col)
+    toks = toks.withColumn("_part", F.spark_partition_id())
+
+    part_totals = (
+        toks.groupBy("_part").agg(F.sum("n_tokens").alias("_total")).collect()
+    )
+    base = 0
+    offsets = []
+    for row in sorted(part_totals, key=lambda r: r["_part"]):
+        offsets.append((row["_part"], base))
+        base += row["_total"]
+    spark = documents.sparkSession
+    offset_df = spark.createDataFrame(offsets, "_part int, _base bigint")
+
+    w = Window.partitionBy("_part").orderBy(id_col)
+    return (
+        toks.withColumn("_local", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .join(F.broadcast(offset_df), "_part")
+        .withColumn("start_offset", F.col("_base") + F.col("_local"))
+        .withColumn("first_pack", (F.col("start_offset") / budget).cast("bigint"))
+        .withColumn(
+            "last_pack",
+            F.when(F.col("n_tokens") > 0,
+                   ((F.col("start_offset") + F.col("n_tokens") - 1) / budget))
+            .otherwise(F.col("start_offset") / budget).cast("bigint"),
+        )
+        .withColumn(
+            "n_packs", (F.col("last_pack") - F.col("first_pack") + 1).cast("int")
+        )
+        .select(id_col, "n_tokens", "start_offset", "first_pack",
+                "last_pack", "n_packs")
+    )

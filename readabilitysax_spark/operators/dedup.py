@@ -203,6 +203,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → canonical doc per
+    cluster: (doc_id, cluster_id, cluster_size, is_canonical).
+
+    Edges = ngram-Jaccard pairs ≥ threshold (LSH-bounded, never
+    all-pairs). Components via iterative min-label propagation: each
+    round every node takes min(own label, neighbors' labels); the
+    fixpoint assigns every node the minimum doc_id reachable in its
+    component — a deterministic result independent of iteration order,
+    which is what makes it oracle-checkable (DuckDB recursive CTE).
+
+    Scale notes: near-dup components in web corpora are shallow (pair
+    generation is transitive-ish within clusters), so propagation
+    converges in a few rounds; each round is one shuffle join on
+    doc_id. ``localCheckpoint`` truncates the growing plan lineage per
+    round (on a cluster: ``checkpoint`` to durable storage). For
+    adversarially long chains switch to pointer-doubling
+    (large-star/small-star), same join shape, O(log n) rounds.
+    """
+    pairs = ngram_jaccard_pairs(documents, threshold, num_hashes, shingle_words)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+
+    labels = documents.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    )
+
+
 # ---- simhash: shared SQL fragment so Spark and any ANSI oracle agree ----
 
 def simhash_sql_expr(word_expr: str, bits: int = 16) -> str:

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 import __spark_entry__ as entry
@@ -194,3 +196,62 @@ def test_embedding_near_dup_bucket_cap(spark):
         emb.limit(10), threshold=0.9, dim=8, max_bucket_size=None
     )
     assert uncapped.count() == 10 * 9 / 2
+
+
+def test_near_dup_clusters_planted(spark):
+    """A planted 3-doc near-dup cluster collapses to one canonical id."""
+    from readabilitysax_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    rows = [
+        (10, base),
+        (11, base.replace("today", "tomorrow")),
+        (12, base.replace("quick", "slow")),
+        (20, "completely different words about spark shuffles and parquet files"),
+        (21, "yet another unrelated document mentioning benchmarks and scaling"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in near_dup_clusters(df, threshold=0.3).collect()}
+    assert out[10].cluster_id == out[11].cluster_id == out[12].cluster_id == 10
+    assert out[10].is_canonical and not out[11].is_canonical
+    assert out[10].cluster_size == 3
+    assert out[20].cluster_id == 20 and out[20].cluster_size == 1
+
+
+def test_pack_sequences_matches_naive_global_window(spark):
+    """The two-pass prefix sum is byte-identical to a single global
+    window regardless of input partitioning."""
+    from pyspark.sql import Window
+
+    from readabilitysax_spark.operators.corpus import pack_sequences, token_count
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").repartition(13)
+    two_pass = {r.doc_id: r for r in pack_sequences(docs, budget=512).collect()}
+
+    naive = (
+        docs.select("doc_id", token_count().cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "start_offset",
+            F.sum("n_tokens").over(Window.orderBy("doc_id")) - F.col("n_tokens"),
+        )
+        .collect()
+    )
+    assert len(naive) == len(two_pass)
+    for r in naive:
+        assert two_pass[r.doc_id].start_offset == r.start_offset, r.doc_id
+        assert two_pass[r.doc_id].n_tokens == r.n_tokens
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from readabilitysax_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    half = {r.doc_id for r in
+            stratified_sample(docs, {}, default_rate=0.5).collect()}
+    quarter = {r.doc_id for r in
+               stratified_sample(docs, {}, default_rate=0.25).collect()}
+    again = {r.doc_id for r in
+             stratified_sample(docs.repartition(7), {}, default_rate=0.5).collect()}
+    assert quarter < half          # nested samples
+    assert again == half           # partitioning-independent
+    assert 0.4 < len(half) / docs.count() < 0.6
