@@ -136,6 +136,12 @@ def minhash_candidate_pairs(
             ])
         ).alias("bucket"),
     )
+    # materialize the band table once — it feeds the cap aggregation and
+    # BOTH sides of the self-join, which would otherwise recompute the
+    # shingle→signature pipeline 3×. (At 10^12 docs the signature/band
+    # table is persisted to storage once and reused; localCheckpoint is
+    # the in-session analog.)
+    bands = bands.localCheckpoint()
     if max_bucket_size is not None:
         wide = (
             bands.groupBy("bucket").count()
@@ -187,9 +193,11 @@ def ngram_jaccard_pairs(
     avoided by the LSH pre-filter.
     """
     pairs = minhash_candidate_pairs(documents, num_hashes, shingle_words)
+    # materialized once: feeds both sides of the pair join (same
+    # persist-the-shingle-table pattern as the band table above)
     sets_df = documents.select(
         "doc_id", F.array_distinct(shingles("text", shingle_words)).alias("sset")
-    )
+    ).localCheckpoint()
     return (
         pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
         .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")

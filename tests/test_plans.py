@@ -58,3 +58,34 @@ def test_topk_uses_take_ordered(spark):
     plan = _plan(entry.queries()["similarity_topk"](spark, SF_TINY))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_filter_only(spark):
+    """Mixture sampling must compile to a scan+filter — no shuffle, no
+    sampling pass (the property that makes it free at 10^12 rows)."""
+    from readabilitysax_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = _plan(stratified_sample(docs, {"en": 1.0}, default_rate=0.1))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The global prefix sum must NOT funnel the table through one
+    partition: the window partitions by _part (parallel), the only
+    Exchanges are the range partition and the tiny broadcast."""
+    from readabilitysax_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    plan = _plan(pack_sequences(docs, budget=512))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+    assert "BroadcastExchange" in plan  # per-partition base offsets
+
+
+def test_simhash64_pairs_bounded_plan(spark):
+    """Band join, never a cartesian product."""
+    plan = _plan(entry.queries()["dedup_simhash64_pairs"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
