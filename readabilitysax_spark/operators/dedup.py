@@ -228,13 +228,12 @@ def near_dup_clusters(
     component — a deterministic result independent of iteration order,
     which is what makes it oracle-checkable (DuckDB recursive CTE).
 
-    Scale notes: near-dup components in web corpora are shallow (pair
-    generation is transitive-ish within clusters), so propagation
-    converges in a few rounds; each round is one shuffle join on
-    doc_id. ``localCheckpoint`` truncates the growing plan lineage per
-    round (on a cluster: ``checkpoint`` to durable storage). For
-    adversarially long chains switch to pointer-doubling
-    (large-star/small-star), same join shape, O(log n) rounds.
+    Scale notes: each round is (a) a neighbor-min propagation (one
+    shuffle join on doc_id) followed by (b) a pointer-doubling hop
+    (label := label of label), which halves chain lengths — together
+    they converge in O(log diameter) rounds instead of O(diameter).
+    ``localCheckpoint`` truncates the growing plan lineage per round
+    (on a cluster: ``checkpoint`` to durable storage).
     """
     pairs = ngram_jaccard_pairs(documents, threshold, num_hashes, shingle_words)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -249,23 +248,33 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+        l1 = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left"
+        ).select(
+            "doc_id",
+            F.col("cluster_id").alias("_old"),
+            F.least(
+                F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: label(x) := label(label(x)) — labels are
+        # doc_ids, so the self-join always hits; min-monotone, same
+        # fixpoint, exponentially faster on chains
+        hop = l1.select(
+            F.col("doc_id").alias("_k"), F.col("cluster_id").alias("_jump")
+        )
+        staged = (
+            l1.join(hop, l1["cluster_id"] == hop["_k"])
             .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
-                ).alias("cluster_id"),
+                "doc_id", "_old",
+                F.least(F.col("cluster_id"), F.col("_jump")).alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # convergence check is a scan over the checkpointed rows — the
+        # old label rides along, so no extra join per round
+        changed = staged.where(F.col("cluster_id") != F.col("_old")).count()
+        labels = staged.select("doc_id", "cluster_id")
         if changed == 0:
             break
 
