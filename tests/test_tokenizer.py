@@ -155,3 +155,53 @@ def test_unquoted_attr_value_at_eof_dropped():
     assert (ATTR, "class", "foo") in ev
     # and a completed tag still emits the value (entity decoded)
     assert (ATTR, "href", "x&") in tokenize("<a href=x&amp>y</a>")
+
+
+class TestEntityEdgeCases:
+    """WHATWG character-reference corners (the table and rules the
+    `entities` v7 decoder implements; htmlparser2 v10 drives the
+    reference with exactly these semantics)."""
+
+    def test_numeric_no_semicolon_text(self):
+        from readabilitysax_spark.core.entities import split_text_entities
+        assert split_text_entities("a&#65b") == ["a", "A", "b"]
+        assert split_text_entities("&#x41") == ["A"]
+
+    def test_c1_remap_and_replacement(self):
+        from readabilitysax_spark.core.entities import split_text_entities
+        assert split_text_entities("&#x80;") == ["€"]   # € (win-1252)
+        assert split_text_entities("&#153;") == ["™"]   # ™
+        assert split_text_entities("&#0;") == ["�"]
+        assert split_text_entities("&#xD800;") == ["�"]  # surrogate
+        assert split_text_entities("&#x110000;") == ["�"]  # > max
+        assert split_text_entities("&#99999999999999999;") == ["�"]
+
+    def test_longest_match_with_trailing_garbage(self):
+        from readabilitysax_spark.core.entities import split_text_entities
+        # the spec's own example: &notit; → ¬it;  /  &notin; → ∉
+        assert split_text_entities("x&notit;") == ["x", "¬", "it;"]
+        assert split_text_entities("&notin;") == ["∉"]
+        assert split_text_entities("&notin") == ["¬", "in"]
+
+    def test_bare_and_empty_references_stay_literal(self):
+        from readabilitysax_spark.core.entities import split_text_entities
+        assert split_text_entities("&") == ["&"]
+        assert split_text_entities("&;x") == ["&;x"]
+        assert split_text_entities("&#;") == ["&#;"]
+        assert split_text_entities("&#x;") == ["&#x;"]
+        assert split_text_entities("&fakename;end") == ["&fakename;end"]
+
+    def test_attribute_legacy_rule(self):
+        # &name (no ;) followed by '=' or alphanumeric is NOT decoded in
+        # attribute values; numeric references decode regardless
+        assert (ATTR, "href", "/x?a=1&amp=2&copy=3") in tokenize(
+            "<a href='/x?a=1&amp=2&copy=3'>y</a>")
+        assert (ATTR, "title", "1 < 2") in tokenize("<a title='1 &lt 2'>y</a>")
+        assert (ATTR, "data", "A-B") in tokenize("<a data='&#65;-&#66'>y</a>")
+        assert (ATTR, "q", "x&y") in tokenize("<a q='x&amp;y'>z</a>")
+
+    def test_rcdata_decodes_rawtext_does_not(self):
+        ev = tokenize("<title>T &copy 1</title><script>S &copy 1</script>")
+        title_chunks = [e[1] for e in ev if e[0] == TEXT][:3]
+        assert title_chunks == ["T ", "©", " 1"]
+        assert (TEXT, "S &copy 1") in ev
