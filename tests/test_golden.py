@@ -175,3 +175,66 @@ class TestErrorHandling:
                     settings={"resolvePaths": True})
         assert a["text"] == b["text"]
         assert a["textLength"] == b["textLength"] == 7935
+
+
+class TestSettingsMatrix:
+    """Every ReadabilitySettings field (/root/reference/lib/types.ts:7-18)
+    must be honored with the reference's semantics — a reference user
+    switching engines keeps their settings object."""
+
+    PAGE = ("<body><div class='content'>"
+            + f"<p style='color:red'>{PAR * 10}</p>"
+            + "<a href='/i/full.jpg'><img src='/i/thumb.png' width='640'></a>"
+            + f"<p title='cap'>{PAR * 10}</p></div>"
+            + "<div class='pagination'><a href='/a/doc-1/page/2'>2</a></div>"
+            + "</body>")
+    URL = {"pageURL": "http://x.example/a/doc-1"}
+
+    def test_search_further_pages_off(self):
+        assert process(self.PAGE, {**self.URL})["nextPage"]
+        art = process(self.PAGE, {**self.URL, "searchFurtherPages": False})
+        assert art["nextPage"] == ""
+
+    def test_links_to_skip(self):
+        skip = {"http://x.example/a/doc-1/page/2": True}
+        art = process(self.PAGE, {**self.URL, "linksToSkip": skip})
+        assert art["nextPage"] == ""
+
+    def test_clean_attributes_flag(self):
+        keep = process(self.PAGE, {**self.URL, "type": "html",
+                                   "cleanAttributes": False})["html"]
+        clean = process(self.PAGE, {**self.URL, "type": "html"})["html"]
+        assert "style" in keep and "style" not in clean
+        assert "title" in keep and "title" in clean  # GOOD_ATTRIBUTES kept
+
+    def test_replace_imgs_flag(self):
+        dropped = process(self.PAGE, {**self.URL, "type": "html"})["html"]
+        kept = process(self.PAGE, {**self.URL, "type": "html",
+                                   "replaceImgs": False})["html"]
+        assert "<img" not in dropped  # a>img-url link replaced (S16)
+        assert "<img" in kept and "<a " in kept
+
+    def test_strip_unlikely_candidates_flag(self):
+        # sidebar body is comma-rich so only the unlikely-candidate
+        # strip (not the conditional cleaner) decides its fate
+        junk = "sidebar junk, with commas, more commas, and text. " * 4
+        page = (f"<body><div class='content'><p>{PAR * 10}</p>"
+                f"<div class='sidebar'><p>{junk}</p></div>"
+                f"<p>{PAR * 10}</p></div></body>")
+        strict = process(page, {"type": "html"})["html"]
+        loose = process(page, {"type": "html",
+                               "stripUnlikelyCandidates": False})["html"]
+        assert "sidebar junk" not in strict
+        assert "sidebar junk" in loose
+
+    def test_weight_classes_flag(self):
+        # without class weighting the 'content' bonus disappears
+        on = process(self.PAGE, {**self.URL})
+        off = process(self.PAGE, {**self.URL, "weightClasses": False})
+        assert off["score"] < on["score"]
+
+    def test_type_selects_output_key(self):
+        t = process(self.PAGE, {**self.URL, "type": "text"})
+        h = process(self.PAGE, {**self.URL, "type": "html"})
+        assert "text" in t and "html" not in t
+        assert "html" in h and "text" not in h
