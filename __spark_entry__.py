@@ -160,6 +160,39 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(read_documents(spark, sf_dir))
 
 
+def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CleanEval-style extraction fidelity: token-set P/R/F1 of the
+    Spark-extracted text against the gold text each page was built
+    from — the eval closes the loop on the byte-identical invariant
+    at token level, end-to-end through the UDF."""
+    pages = read_pages(spark, sf_dir).withColumnRenamed("text", "gold_text")
+    arts = extract_articles(pages, passthrough=("gold_text",))
+    return textstats.token_set_prf(
+        arts, "text", "gold_text", id_col="url"
+    ).orderBy("url")
+
+
+def _q_top_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked window: top-3 quality docs per language (row_number over
+    a per-lang partition — one shuffle on lang)."""
+    from pyspark.sql import Window
+
+    docs = read_documents(spark, sf_dir)
+    q = textstats.quality_stats(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        q.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"),
+                "doc_id", "quality_score")
+        .orderBy("lang", "rnk")
+    )
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_stats(read_documents(spark, sf_dir))
 
@@ -306,6 +339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mixture": _q_corpus_sample_mixture,
         "pack_sequences": _q_pack_sequences,
         "lang_id": _q_lang_id,
+        "extraction_eval": _q_extraction_eval,
+        "top_quality_docs": _q_top_quality_docs,
         "text_quality": _q_text_quality,
         "fingerprints": _q_fingerprints,
         "corpus_stats_by_lang": _q_corpus_stats,
@@ -608,6 +643,40 @@ def oracle_sql() -> dict[str, str]:
 
     q["lang_id"] = _lang_id_sql()
 
+    q["extraction_eval"] = """
+        WITH d AS (
+          SELECT doc_id, source, text AS gold,
+                 (260 + length(text) - 1) // length(text) AS m
+          FROM documents
+        ), e AS (
+          SELECT 'http://' || source || '.example/articles/doc-' || doc_id AS url,
+                 rtrim(repeat(gold || chr(10), m), chr(10)) AS pred, gold
+          FROM d
+        ), t AS (
+          SELECT url,
+                 list_distinct(regexp_split_to_array(pred, '\\s+')) AS p,
+                 list_distinct(regexp_split_to_array(gold, '\\s+')) AS g
+          FROM e
+        ), s AS (
+          SELECT url,
+                 CASE WHEN len(p) > 0
+                      THEN CAST(length(list_intersect(p, g)) AS DOUBLE) / len(p)
+                      ELSE 0.0 END AS pr,
+                 CASE WHEN len(g) > 0
+                      THEN CAST(length(list_intersect(p, g)) AS DOUBLE) / len(g)
+                      ELSE 0.0 END AS rc
+          FROM t
+        )
+        SELECT url,
+               CAST(round(pr, 6) AS DOUBLE) AS precision,
+               CAST(round(rc, 6) AS DOUBLE) AS recall,
+               CAST(round(CASE WHEN pr + rc > 0
+                               THEN 2 * pr * rc / (pr + rc)
+                               ELSE 0.0 END, 6) AS DOUBLE) AS f1
+        FROM s ORDER BY url
+    """
+
+
     q["text_quality"] = f"""
         WITH t AS (
           SELECT doc_id, text,
@@ -627,6 +696,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(least(n_words / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3
                           + (1.0 - digit_ratio) * 0.2, 6) AS DOUBLE) AS quality_score
         FROM s
+    """
+
+    _tq_sql = q["text_quality"]
+    q["top_quality_docs"] = f"""
+        WITH tq AS ({_tq_sql}),
+        j AS (
+          SELECT d.lang, tq.doc_id, tq.quality_score
+          FROM tq JOIN documents d USING (doc_id)
+        ), r AS (
+          SELECT lang, doc_id, quality_score,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY quality_score DESC, doc_id) AS rnk
+          FROM j
+        )
+        SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality_score
+        FROM r WHERE rnk <= 3 ORDER BY lang, rnk
     """
 
     q["fingerprints"] = """

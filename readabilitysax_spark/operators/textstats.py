@@ -114,3 +114,35 @@ def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def token_set_prf(
+    df: DataFrame,
+    pred_col: str,
+    gold_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-set precision/recall/F1 of a predicted text column against
+    a gold column (CleanEval-style extraction evaluation, set-based).
+
+    All JVM expressions (split on whitespace runs, array_distinct,
+    array_intersect) — one map-only pass, no shuffle, ANSI-portable for
+    the oracle. Empty prediction/gold yield 0.0 (not null) so the
+    metric aggregates cleanly.
+    """
+    pred = F.array_distinct(F.split(F.col(pred_col), r"\s+"))
+    gold = F.array_distinct(F.split(F.col(gold_col), r"\s+"))
+    n_pred = F.size(pred)
+    n_gold = F.size(gold)
+    n_inter = F.size(F.array_intersect(pred, gold))
+    precision = F.when(n_pred > 0, n_inter / n_pred).otherwise(F.lit(0.0))
+    recall = F.when(n_gold > 0, n_inter / n_gold).otherwise(F.lit(0.0))
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -255,3 +255,17 @@ def test_stratified_sample_nested_and_deterministic(spark):
     assert quarter < half          # nested samples
     assert again == half           # partitioning-independent
     assert 0.4 < len(half) / docs.count() < 0.6
+
+
+def test_token_set_prf_math(spark):
+    from readabilitysax_spark.operators.textstats import token_set_prf
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "a b x y"),   # P=0.5 R=0.5 F1=0.5
+         (2, "a a b", "a b"),         # set-based: P=R=F1=1.0
+         (3, "", "a"), (4, "a", "")], # empty sides -> 0.0
+        "doc_id long, pred string, gold string")
+    rows = {r.doc_id: r for r in token_set_prf(df, "pred", "gold").collect()}
+    assert rows[1].precision == 0.5 and rows[1].recall == 0.5 and rows[1].f1 == 0.5
+    assert rows[2].f1 == 1.0
+    assert rows[3].f1 == 0.0 and rows[4].f1 == 0.0
