@@ -156,6 +156,12 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl rollup (domain-level curation aggregation).
+    size_col='text' so the oracle can compute sizes analytically."""
+    return corpus.domain_stats(read_pages(spark, sf_dir), size_col="text")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(read_documents(spark, sf_dir))
 
@@ -338,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "corpus_sample_mixture": _q_corpus_sample_mixture,
         "pack_sequences": _q_pack_sequences,
+        "domain_stats": _q_domain_stats,
         "lang_id": _q_lang_id,
         "extraction_eval": _q_extraction_eval,
         "top_quality_docs": _q_top_quality_docs,
@@ -642,6 +649,14 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["lang_id"] = _lang_id_sql()
+
+    q["domain_stats"] = """
+        SELECT source || '.example' AS domain,
+               COUNT(*) AS n_pages,
+               CAST(SUM(length(text)) AS BIGINT) AS total_content_bytes,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY source ORDER BY domain
+    """
 
     q["extraction_eval"] = """
         WITH d AS (

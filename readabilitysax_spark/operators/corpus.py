@@ -52,6 +52,25 @@ def stratified_sample(
     return documents.where(h < cutoff)
 
 
+def domain_stats(pages: DataFrame, size_col: str = "html") -> DataFrame:
+    """Per-domain crawl rollup over a pages table: (domain, n_pages,
+    total_content_bytes, n_langs) — the aggregation behind domain-level
+    curation (blocklists, per-domain caps). One shuffle on domain;
+    `www.` prefix normalized; expression-portable for the oracle."""
+    domain = F.regexp_replace(
+        F.regexp_extract("url", "^[a-z]+://([^/]+)", 1), "^www\\.", ""
+    )
+    return (
+        pages.groupBy(domain.alias("domain"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length(size_col)).cast("bigint").alias("total_content_bytes"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("domain")
+    )
+
+
 def token_count(text_col: str = "text"):
     """BPE-ish token count (shared regex with textstats.quality_stats)."""
     return F.regexp_count(F.col(text_col), F.lit(TOKEN_RE))
