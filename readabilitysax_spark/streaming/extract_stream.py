@@ -40,6 +40,26 @@ def extract_articles_stream(pages_stream: DataFrame) -> DataFrame:
     return extract_articles(pages_stream, passthrough=("warc_ts", "lang"))
 
 
+def dedup_pages_stream(
+    pages_stream: DataFrame,
+    id_cols: tuple[str, ...] = ("url",),
+    event_time_col: str = "warc_ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Ingest-side streaming dedup: re-crawled / re-delivered pages
+    within the watermark horizon are dropped exactly once.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the event-time watermark passes, so state is bounded by (crawl
+    rate × horizon) instead of growing with the corpus — the property
+    that makes streaming dedup viable at 10^12 cumulative docs. For
+    full-corpus dedup the batch operators (dedup.py) run downstream.
+    """
+    return pages_stream.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(list(id_cols))
+
+
 def windowed_lang_rollup(articles_stream: DataFrame) -> DataFrame:
     """Event-time rollup: docs + text volume per lang per 1h window,
     tolerating 2h-late crawl records."""

@@ -111,3 +111,37 @@ def test_streaming_extraction(spark, tmp_path):
         extract_articles_stream(read_pages_stream(spark, merged)))
     assert rollup.isStreaming
     pages.unpersist()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered pages are dropped exactly once with bounded state."""
+    from readabilitysax_spark.sources.pages import read_pages
+    from readabilitysax_spark.streaming.extract_stream import (
+        dedup_pages_stream,
+        read_pages_stream,
+    )
+
+    from .conftest import SF_TINY
+
+    src = str(tmp_path / "in")
+    pages = read_pages(spark, SF_TINY).limit(60)
+    # deliver the same 60 pages twice (two files, duplicate rows)
+    pages.coalesce(1).write.mode("append").parquet(src)
+    pages.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = dedup_pages_stream(read_pages_stream(spark, src))
+    q = (
+        stream.select("url", "warc_ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.select("url").distinct().count() == 60
