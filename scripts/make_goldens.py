@@ -64,6 +64,17 @@ PAGES = {
             "nextPage": "http://dispatch.example/blog/heat-2/page/2",
         },
     },
+    # CJK/emoji/umlaut page: pins the UTF-16 length semantics (JS
+    # .length counts astral chars as TWO units) on organic-ish markup
+    "unicodepage": {
+        "path": os.path.join(ROOT, "tests/fixtures/unicodepage.html"),
+        "url": "http://dispatch.example/notes/heat-9/",
+        "settings": {"resolvePaths": True},
+        "anchor": {
+            "title": "醸造所の配管における熱追跡 - ディスパッチ技報",
+            "nextPage": "http://dispatch.example/notes/heat-9/page/2",
+        },
+    },
 }
 
 # hostile snippets: tokenizer/entity/implied-close edge cases from

