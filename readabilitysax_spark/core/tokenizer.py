@@ -90,6 +90,13 @@ _RE_ATTR_NAME = re.compile(r"[^\t\n\f\r =/>]+")
 _RE_ATTR_NAME_EQ = re.compile(r"=[^\t\n\f\r =/>]*")
 _RE_WS = re.compile(r"[\t\n\f\r ]*")
 _RE_UNQUOTED_VALUE = re.compile(r"[^\t\n\f\r >&]*")
+# fast path for the dominant attribute shape: ws name [ws] = [ws] "quoted"
+# (same name class as _RE_ATTR_NAME; falls back to the exact state loop
+# for unquoted values, bare names, '/', '=' quirks, and EOF handling)
+_RE_ATTR_FAST = re.compile(
+    r"[\t\n\f\r ]*([^\t\n\f\r =/>]+)[\t\n\f\r ]*=[\t\n\f\r ]*"
+    r"(\"[^\"]*\"|'[^']*')"
+)
 
 _SPECIAL_TAGS = ("script", "style", "title", "textarea")
 # "</name" followed by > or whitespace terminates rawtext content
@@ -116,7 +123,12 @@ def tokenize(html: str) -> list[tuple]:
     n = len(html)
 
     def emit_text(start: int, end: int) -> None:
-        for chunk in split_text_entities(html[start:end]):
+        seg = html[start:end]
+        if "&" not in seg:  # fast path: no entity can split the chunk
+            if seg:
+                ev_append((TEXT, seg))
+            return
+        for chunk in split_text_entities(seg):
             ev_append((TEXT, chunk))
 
     def emit_raw_text(start: int, end: int) -> None:
@@ -165,9 +177,10 @@ def tokenize(html: str) -> list[tuple]:
 
     i = 0    # scan position
     sec = 0  # current text section start
+    html_find = html.find  # bound once: the scan loop's hottest call
 
     while i < n:
-        lt = html.find("<", i)
+        lt = html_find("<", i)
         if lt < 0:
             break
         nxt = html[lt + 1] if lt + 1 < n else ""
@@ -205,7 +218,7 @@ def tokenize(html: str) -> list[tuple]:
                     else:
                         emit_raw_text(i, m2.start())
                     emit_explicit_close(name)
-                    gt = html.find(">", m2.end())
+                    gt = html_find(">", m2.end())
                     i = sec = (gt + 1) if gt >= 0 else n
                 continue
 
@@ -214,6 +227,16 @@ def tokenize(html: str) -> list[tuple]:
             self_closing = False
             tag_ok = False  # did we reach '>'
             while p < n:
+                fm = _RE_ATTR_FAST.match(html, p)
+                if fm is not None:
+                    attr_name = fm.group(1).lower()
+                    raw = fm.group(2)[1:-1]
+                    if raw:
+                        value = decode_attribute_value(raw)
+                        if value:
+                            ev_append((ATTR, attr_name, value))
+                    p = fm.end()
+                    continue
                 if html[p] in _WS_SET:
                     p = _RE_WS.match(html, p).end()
                 if p >= n:
@@ -249,7 +272,7 @@ def tokenize(html: str) -> list[tuple]:
                         break
                     q = html[p]
                     if q == '"' or q == "'":
-                        vend = html.find(q, p + 1)
+                        vend = html_find(q, p + 1)
                         if vend < 0:
                             p = n  # EOF in quoted value: attr dropped
                             break
@@ -330,7 +353,7 @@ def tokenize(html: str) -> list[tuple]:
                     emit_raw_text(p, m2.start())
                 emit_explicit_close(name)
                 # AfterClosingTagName: consume to '>'
-                gt = html.find(">", m2.end())
+                gt = html_find(">", m2.end())
                 i = sec = (gt + 1) if gt >= 0 else n
 
         elif nxt == "/":
@@ -353,11 +376,11 @@ def tokenize(html: str) -> list[tuple]:
                     i = sec = n  # EOF in closing name: ignored
                     break
                 emit_explicit_close(m.group().lower())
-                gt = html.find(">", name_end)
+                gt = html_find(">", name_end)
                 i = sec = (gt + 1) if gt >= 0 else n
             else:
                 # InSpecialComment: consumed to '>', emitted as comment
-                gt = html.find(">", p)
+                gt = html_find(">", p)
                 if gt < 0:
                     # EOF: htmlparser2 emits remaining as text
                     emit_raw_text(p, n)
@@ -376,7 +399,7 @@ def tokenize(html: str) -> list[tuple]:
                 end = html.find("]]>", lt + 9)
                 i = sec = (end + 3) if end >= 0 else n
             else:
-                gt = html.find(">", lt + 2)
+                gt = html_find(">", lt + 2)
                 if gt < 0:
                     # EOF in declaration: htmlparser2 emits content as text
                     emit_raw_text(lt + 2, n)
@@ -387,7 +410,7 @@ def tokenize(html: str) -> list[tuple]:
         elif nxt == "?":
             if lt > sec:
                 emit_text(sec, lt)
-            gt = html.find(">", lt + 2)
+            gt = html_find(">", lt + 2)
             if gt < 0:
                 emit_raw_text(lt + 2, n)
                 i = sec = n
