@@ -211,6 +211,11 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_stats_by_lang(read_documents(spark, sf_dir))
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate quality signals."""
+    return textstats.repetition_stats(read_documents(spark, sf_dir))
+
+
 def _read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -351,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "fingerprints": _q_fingerprints,
         "corpus_stats_by_lang": _q_corpus_stats,
+        "repetition_stats": _q_repetition_stats,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
@@ -727,6 +733,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality_score
         FROM r WHERE rnk <= 3 ORDER BY lang, rnk
+    """
+
+    q["repetition_stats"] = """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), bg AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[i:i+1], ' ')
+                         for i in range(1, len(w))]) AS bigram
+          FROM w
+        ), cnt AS (
+          SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+                 CAST(SUM(c) AS BIGINT) AS n_bigrams
+          FROM cnt GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               coalesce(agg.n_bigrams, 0) AS n_bigrams,
+               coalesce(agg.top_bigram_count, 0) AS top_bigram_count,
+               CAST(CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+                         THEN round(CAST(agg.top_bigram_count AS DOUBLE)
+                                    / agg.n_bigrams, 6)
+                         ELSE 0.0 END AS DOUBLE) AS top_bigram_frac,
+               CAST(round(CAST(length(list_distinct(w.w)) AS DOUBLE)
+                          / len(w.w), 6) AS DOUBLE) AS distinct_word_frac
+        FROM w LEFT JOIN agg USING (doc_id)
     """
 
     q["fingerprints"] = """

@@ -35,12 +35,20 @@ def _words(text_col: str = "text") -> Column:
 
 
 def shingles(text_col: str = "text", k: int = DEFAULT_SHINGLE_WORDS) -> Column:
-    """Word k-gram shingles as an array<string> column (JVM transform)."""
+    """Word k-gram shingles as an array<string> column (JVM transform).
+
+    Docs shorter than ``k`` words yield an EMPTY array — guarded with
+    CASE WHEN because ``sequence(1, 0)`` would otherwise produce the
+    descending [1, 0] and ``slice(start=0)`` throws, killing the task
+    on any short document."""
     w = _words(text_col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-    )
+    return F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -89,7 +97,12 @@ def minhash_lsh_buckets(
 ) -> DataFrame:
     """LSH buckets with >1 member: (band, band_hash, n_docs, min_doc_id,
     max_doc_id). Each signature position is one band (r=1)."""
-    sigs = minhash_signatures(documents, num_hashes, shingle_words)
+    # shingle-less docs (< k words) have NULL signatures — excluded, or
+    # they'd all collide into one null bucket (matches the oracle's
+    # UNPIVOT, which drops NULL cells)
+    sigs = minhash_signatures(documents, num_hashes, shingle_words).where(
+        F.col("minhash_0").isNotNull()
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -126,7 +139,11 @@ def minhash_candidate_pairs(
     produce O(n²) pairs in that bucket alone. Buckets wider than the
     cap are dropped from pair generation — audit what would be dropped
     with ``oversize_lsh_buckets`` (no-silent-caps rule)."""
-    sigs = minhash_signatures(documents, num_hashes, shingle_words)
+    # NULL signatures (shingle-less short docs) excluded: concat_ws
+    # silently drops NULLs, which would bucket every short doc together
+    sigs = minhash_signatures(documents, num_hashes, shingle_words).where(
+        F.col("minhash_0").isNotNull()
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -203,8 +220,13 @@ def ngram_jaccard_pairs(
         .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("set_a", "set_b"))
-            / F.size(F.array_union("set_a", "set_b")),
+            # union can only be empty if both shingle sets are (short
+            # docs) — guard the ANSI divide-by-zero
+            F.when(
+                F.size(F.array_union("set_a", "set_b")) > 0,
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+            ).otherwise(F.lit(0.0)),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

@@ -38,7 +38,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; zero vectors yield 0.0 instead of an ANSI
+    divide-by-zero task failure (one zero embedding at 10^12 rows must
+    not kill a stage)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(

@@ -146,3 +146,56 @@ def token_set_prf(
         F.round(recall, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per doc: the fraction of all
+    word-bigrams taken by the single most frequent bigram, plus the
+    distinct-word fraction. High top-bigram fraction / low distinct
+    fraction flag boilerplate and spam for corpus filtering.
+
+    (doc_id, n_bigrams, top_bigram_count, top_bigram_frac,
+    distinct_word_frac) — two hash shuffles (doc+bigram counts, then
+    per-doc rollup), uniform keys.
+    """
+    words = F.split("text", " ")
+    # guarded: sequence(1, 0) is the DESCENDING [1, 0] in Spark and
+    # slice(start=0) throws — single-word docs must yield no bigrams
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = documents.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    per_doc = (
+        exploded.groupBy("doc_id", "bigram").count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("bigint").alias("top_bigram_count"),
+            F.sum("count").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    base = documents.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(words)) / F.size(words), 6
+        ).alias("distinct_word_frac"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("top_bigram_count", F.lit(0)).cast("bigint")
+            .alias("top_bigram_count"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            "distinct_word_frac",
+        )
+    )

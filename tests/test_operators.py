@@ -269,3 +269,49 @@ def test_token_set_prf_math(spark):
     assert rows[1].precision == 0.5 and rows[1].recall == 0.5 and rows[1].f1 == 0.5
     assert rows[2].f1 == 1.0
     assert rows[3].f1 == 0.0 and rows[4].f1 == 0.0
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from readabilitysax_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"),
+         (2, "a genuinely varied sentence with distinct words throughout"),
+         (3, "one")],  # no bigrams
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].top_bigram_frac > 0.4          # "buy now"/"now buy" dominate
+    assert rows[1].distinct_word_frac == 0.25
+    assert rows[2].top_bigram_frac < 0.2 and rows[2].distinct_word_frac == 1.0
+    assert rows[3].n_bigrams == 0 and rows[3].top_bigram_frac == 0.0
+
+
+def test_short_doc_shingles_no_crash(spark):
+    """Docs shorter than the shingle width must yield empty shingle
+    sets, not a slice(start=0) task crash (sequence(1,0) is DESCENDING
+    in Spark) — one such doc at 10^12 rows would kill its whole task."""
+    from readabilitysax_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three whole words"),
+         (4, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r for r in minhash_signatures(df, num_hashes=2).collect()}
+    assert sigs[1].minhash_0 is None      # no shingles → no signature
+    assert sigs[3].minhash_0 is not None  # exactly one 3-gram
+    assert ngram_jaccard_pairs(df).count() == 0  # no shared buckets here
+
+
+def test_zero_vector_cosine_no_crash(spark):
+    from pyspark.sql import functions as F
+
+    from readabilitysax_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r.cosine for r in
+            brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()}
+    assert rows[1] == 0.0 and rows[2] == 1.0 and rows[3] == 0.0
