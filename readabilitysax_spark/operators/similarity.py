@@ -190,6 +190,8 @@ def train_centroids_deterministic(
         [float(v) for v in r[0]]
         for r in embeddings.orderBy(id_col).select(vec_col).head(n_lists)
     ]
+    if not seeds:
+        raise ValueError("IVF training requires a non-empty embeddings table")
     assigned = ivf_assign(embeddings, seeds, vec_col)
     dim = len(seeds[0])
     avg_cols = [

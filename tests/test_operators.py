@@ -315,3 +315,58 @@ def test_zero_vector_cosine_no_crash(spark):
     rows = {r.vec_id: r.cosine for r in
             brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()}
     assert rows[1] == 0.0 and rows[2] == 1.0 and rows[3] == 0.0
+
+
+def test_all_doc_operators_survive_hostile_docs(spark):
+    """Every documents-table operator must be total over hostile rows:
+    empty text, whitespace, single word/char, unicode-only, numerals.
+    (One crashing row at 10^12 docs kills its task; found the
+    shingle/divide-by-zero class of bugs — this pins the sweep.)"""
+    from readabilitysax_spark.operators import corpus, dedup, multimodal, textstats
+
+    rows = [
+        (0, "", "en", "src0", 0),
+        (1, " ", "en", "src0", 1),
+        (2, "one", "de", "src1", 3),
+        (3, "two words", "fr", "src1", 9),
+        (4, "漢字のみの文書です", "zh", "src2", 9),
+        (5, "1234 5678 9999", "es", "src2", 14),
+        (6, "x" * 5000, "en", "src3", 5000),
+        (7, "the the the the the the", "en", "src3", 23),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    ops = [
+        lambda: dedup.exact_duplicates(df),
+        lambda: dedup.minhash_signatures(df),
+        lambda: dedup.minhash_lsh_buckets(df),
+        lambda: dedup.minhash_candidate_pairs(df),
+        lambda: dedup.ngram_jaccard_pairs(df),
+        lambda: dedup.simhash(df, bits=16),
+        lambda: dedup.simhash(df, bits=64),
+        lambda: dedup.simhash_near_dup_pairs(df),
+        lambda: dedup.near_dup_clusters(df),
+        lambda: textstats.language_id(df),
+        lambda: textstats.quality_stats(df),
+        lambda: textstats.fingerprints(df),
+        lambda: textstats.corpus_stats_by_lang(df),
+        lambda: textstats.repetition_stats(df),
+        lambda: corpus.stratified_sample(df, {"en": 0.5}, default_rate=0.1),
+        lambda: corpus.pack_sequences(df, budget=16),
+        lambda: corpus.domain_stats(
+            df.selectExpr("concat('http://', source, '.example/d/', doc_id) AS url",
+                          "text AS html", "lang"), size_col="html"),
+        lambda: multimodal.extract_media_features(
+            multimodal.synth_media_from_documents(df)),
+    ]
+    for op in ops:
+        assert op().count() >= 0  # must not raise
+
+
+def test_empty_documents_table(spark):
+    from readabilitysax_spark.operators import dedup, textstats
+
+    df = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert dedup.exact_duplicates(df).count() == 0
+    assert dedup.ngram_jaccard_pairs(df).count() == 0
+    assert textstats.repetition_stats(df).count() == 0
