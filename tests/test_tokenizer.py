@@ -205,3 +205,52 @@ class TestEntityEdgeCases:
         title_chunks = [e[1] for e in ev if e[0] == TEXT][:3]
         assert title_chunks == ["T ", "©", " 1"]
         assert (TEXT, "S &copy 1") in ev
+
+
+class TestImpliedCloseMatrix:
+    """htmlparser2's openImpliesClose while-loop semantics, pinned on
+    the structures the reference meets constantly in web tables/lists."""
+
+    def _fmt(self, h):
+        m = {OPEN: "O", ATTR: "A", TEXT: "T", CLOSE: "C"}
+        return [(m[e[0]], *e[1:]) for e in tokenize(h)]
+
+    def test_table_rows_cascade(self):
+        # a new <tr> pops BOTH the open td and the open tr (while-loop,
+        # not single pop)
+        assert self._fmt("<table><tr><td>a<tr><td>b</table>") == [
+            ("O", "table"), ("O", "tr"), ("O", "td"), ("T", "a"),
+            ("C", "td"), ("C", "tr"), ("O", "tr"), ("O", "td"), ("T", "b"),
+            ("C", "td"), ("C", "tr"), ("C", "table")]
+
+    def test_list_items_and_definition_terms(self):
+        assert self._fmt("<ul><li>x<li>y</ul>") == [
+            ("O", "ul"), ("O", "li"), ("T", "x"), ("C", "li"),
+            ("O", "li"), ("T", "y"), ("C", "li"), ("C", "ul")]
+        assert self._fmt("<dl><dt>t<dd>d<dt>t2</dl>") == [
+            ("O", "dl"), ("O", "dt"), ("T", "t"), ("C", "dt"),
+            ("O", "dd"), ("T", "d"), ("C", "dd"),
+            ("O", "dt"), ("T", "t2"), ("C", "dt"), ("C", "dl")]
+
+    def test_block_elements_close_p(self):
+        assert self._fmt("<p>a<div>b</div>") == [
+            ("O", "p"), ("T", "a"), ("C", "p"),
+            ("O", "div"), ("T", "b"), ("C", "div")]
+
+    def test_form_controls(self):
+        assert self._fmt("<select><option>1<option>2</select>") == [
+            ("O", "select"), ("O", "option"), ("T", "1"), ("C", "option"),
+            ("O", "option"), ("T", "2"), ("C", "option"), ("C", "select")]
+
+    def test_foreign_self_closing_and_integration_point(self):
+        # inside <svg>, '/>' genuinely self-closes (foreign content);
+        # <desc> is an integration point where html rules resume
+        assert self._fmt("<svg><circle/><desc><p>t</p></desc></svg>") == [
+            ("O", "svg"), ("O", "circle"), ("C", "circle"),
+            ("O", "desc"), ("O", "p"), ("T", "t"), ("C", "p"),
+            ("C", "desc"), ("C", "svg")]
+
+    def test_rawtext_end_tag_with_attributes(self):
+        # '</script foo=..>' terminates rawtext; junk up to '>' consumed
+        assert self._fmt("<script>x</script foo='y'>after") == [
+            ("O", "script"), ("T", "x"), ("C", "script"), ("T", "after")]
