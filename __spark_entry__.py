@@ -162,6 +162,28 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.domain_stats(read_pages(spark, sf_dir), size_col="text")
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: three synthesized variants per doc (trailing
+    slash + fragment + unsorted params / tracking params / uppercase
+    host with default port) must collapse to ONE canonical url."""
+    docs = read_documents(spark, sf_dir)
+    mk = lambda *parts: F.concat(*parts)  # noqa: E731
+    variants = docs.select(
+        F.explode(F.array(
+            mk(F.lit("http://"), "source",
+               F.lit(".example/articles/doc-"), "doc_id",
+               F.lit("/?b=2&a=1#frag")),
+            mk(F.lit("http://"), "source",
+               F.lit(".example/articles/doc-"), "doc_id",
+               F.lit("?a=1&utm_source=feed&b=2")),
+            mk(F.lit("http://"), "source",
+               F.lit(".EXAMPLE:80/articles/doc-"), "doc_id",
+               F.lit("?a=1&b=2")),
+        )).alias("url")
+    )
+    return corpus.dedup_by_canonical_url(variants)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(read_documents(spark, sf_dir))
 
@@ -350,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mixture": _q_corpus_sample_mixture,
         "pack_sequences": _q_pack_sequences,
         "domain_stats": _q_domain_stats,
+        "url_dedup": _q_url_dedup,
         "lang_id": _q_lang_id,
         "extraction_eval": _q_extraction_eval,
         "top_quality_docs": _q_top_quality_docs,
@@ -662,6 +685,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(length(text)) AS BIGINT) AS total_content_bytes,
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         FROM documents GROUP BY source ORDER BY domain
+    """
+
+    q["url_dedup"] = f"""
+        WITH v AS (
+          SELECT unnest([
+            'http://' || source || '.example/articles/doc-' || doc_id || '/?b=2&a=1#frag',
+            'http://' || source || '.example/articles/doc-' || doc_id || '?a=1&utm_source=feed&b=2',
+            'http://' || source || '.EXAMPLE:80/articles/doc-' || doc_id || '?a=1&b=2'
+          ]) AS url FROM documents
+        ), qn AS (
+          SELECT url,
+                 array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '{corpus._TRACKING_PARAM_RE}')
+                 )), '&') AS qs
+          FROM v
+        ), c AS (
+          SELECT url,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+                 || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(80|443)$', '')
+                 || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '')
+                 || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+          FROM qn
+        )
+        SELECT canonical_url, COUNT(*) AS n_variants, MIN(url) AS keeper_url
+        FROM c GROUP BY canonical_url ORDER BY canonical_url
     """
 
     q["extraction_eval"] = """

@@ -131,3 +131,53 @@ def pack_sequences(
         .select(id_col, "n_tokens", "start_offset", "first_pack",
                 "last_pack", "n_packs")
     )
+
+
+_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url_col: str = "url"):
+    """Canonical URL column: lowercase scheme+host, default ports and
+    fragments dropped, tracking params (utm_*/fbclid/gclid/ref/mc_*)
+    removed, remaining query params sorted, trailing slashes stripped.
+    Pure JVM expressions (regexp + array ops) so URL-level dedup —
+    the pass that runs BEFORE content dedup in a crawl pipeline —
+    stays in whole-stage codegen, and the same expressions are
+    ANSI-portable for the oracle."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(80|443)$", "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.concat_ws("&", params)
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_by_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_variants, keeper_url): URL-level duplicate
+    groups; keeper = lexicographically-smallest raw variant. One
+    shuffle on the canonical key."""
+    c = canonicalize_url(url_col).alias("canonical_url")
+    return (
+        df.select(c, F.col(url_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min(url_col).alias("keeper_url"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -370,3 +370,27 @@ def test_empty_documents_table(spark):
     assert dedup.exact_duplicates(df).count() == 0
     assert dedup.ngram_jaccard_pairs(df).count() == 0
     assert textstats.repetition_stats(df).count() == 0
+
+
+def test_url_canonicalization_rules(spark):
+    from readabilitysax_spark.operators.corpus import (
+        canonicalize_url,
+        dedup_by_canonical_url,
+    )
+    df = spark.createDataFrame([
+        ("http://a.example/x/?b=2&a=1#frag",),
+        ("http://a.example/x?a=1&utm_source=feed&b=2",),
+        ("http://A.EXAMPLE:80/x?a=1&b=2",),
+        ("https://b.example/",),
+        ("https://b.example",),
+        ("https://c.example:443/p?fbclid=zzz",),
+    ], "url string")
+    canon = {r.url: r.c for r in df.select("url", canonicalize_url().alias("c")).collect()}
+    assert canon["http://a.example/x/?b=2&a=1#frag"] == "http://a.example/x?a=1&b=2"
+    assert canon["http://a.example/x?a=1&utm_source=feed&b=2"] == "http://a.example/x?a=1&b=2"
+    assert canon["http://A.EXAMPLE:80/x?a=1&b=2"] == "http://a.example/x?a=1&b=2"
+    assert canon["https://b.example/"] == canon["https://b.example"] == "https://b.example"
+    assert canon["https://c.example:443/p?fbclid=zzz"] == "https://c.example/p"
+    groups = {r.canonical_url: r for r in dedup_by_canonical_url(df).collect()}
+    assert groups["http://a.example/x?a=1&b=2"].n_variants == 3
+    assert groups["https://b.example"].n_variants == 2
