@@ -96,6 +96,13 @@ def pack_sequences(
     driver, and broadcast-join the per-partition base offsets back.
     Two passes, no global sort bottleneck, byte-identical to the naive
     global window (which the DuckDB oracle uses).
+
+    Plan note: Catalyst re-shuffles on ``_part`` for the window (it
+    cannot see that spark_partition_id matches the range layout), so
+    the plan holds one range + one hash Exchange; per-key parallelism
+    equals ``num_partitions`` — size it to cluster width at scale.
+    The invariant that matters (pinned in test_plans) is NO
+    ``Exchange SinglePartition`` anywhere.
     """
     toks = documents.select(
         F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens")
