@@ -238,6 +238,11 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(read_documents(spark, sf_dir))
 
 
+def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS scheme)."""
+    return textstats.winnowing_fingerprints(read_documents(spark, sf_dir))
+
+
 def _read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -380,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "corpus_stats_by_lang": _q_corpus_stats,
         "repetition_stats": _q_repetition_stats,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
         "similarity_topk": _q_similarity_topk,
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
@@ -782,6 +788,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, quality_score
         FROM r WHERE rnk <= 3 ORDER BY lang, rnk
+    """
+
+    q["winnowing_fingerprints"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) - 7 >= 1 THEN
+                        [md5(substring(text, i, 8))
+                         for i in range(1, length(text) - 7 + 1)]
+                      ELSE []::VARCHAR[] END AS gh
+          FROM documents
+        ), m AS (
+          SELECT doc_id, gh,
+                 CASE WHEN len(gh) >= 4 THEN
+                        [list_aggregate(gh[w:w+3], 'min')
+                         for w in range(1, len(gh) - 3 + 1)]
+                      WHEN len(gh) >= 1 THEN [list_aggregate(gh, 'min')]
+                      ELSE []::VARCHAR[] END AS mins
+          FROM g
+        )
+        SELECT doc_id,
+               CAST(len(gh) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(mins)) AS INT) AS n_fingerprints,
+               CASE WHEN len(mins) > 0
+                    THEN md5(array_to_string(list_sort(list_distinct(mins)), ''))
+               END AS fp_digest
+        FROM m
     """
 
     q["repetition_stats"] = """

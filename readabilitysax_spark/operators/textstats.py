@@ -199,3 +199,58 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             "distinct_word_frac",
         )
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-char gram, slide a
+    window of ``window`` hashes, keep each window's minimum; the
+    distinct selected hashes are the fingerprint set, guaranteeing any
+    shared substring of length ≥ k+window-1 yields a shared
+    fingerprint.
+
+    All JVM expressions (transform/slice/array_min over substring
+    hashes), map-only, ANSI-portable for the oracle. Texts with fewer
+    grams than the window select the single global minimum; texts
+    shorter than ``k`` yield no fingerprints. Output is compact:
+    (doc_id, n_grams, n_fingerprints, fp_digest) with fp_digest =
+    md5 of the sorted distinct selection.
+    """
+    text = F.col("text")
+    empty = F.array().cast("array<string>")
+    n_grams_expr = F.length(text) - (k - 1)
+    gram_hashes = F.when(
+        n_grams_expr >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams_expr),
+            lambda i: F.md5(text.substr(i, F.lit(k))),
+        ),
+    ).otherwise(empty)
+
+    with_gh = documents.select("doc_id", text.alias("text")).withColumn(
+        "_gh", gram_hashes
+    )
+    gh = F.col("_gh")
+    n_windows = F.size(gh) - (window - 1)
+    mins = (
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda w: F.array_min(F.slice(gh, w, window)),
+            ),
+        )
+        .when(F.size(gh) >= 1, F.array(F.array_min(gh)))
+        .otherwise(empty)
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return with_gh.select(
+        "doc_id",
+        F.size(gh).cast("bigint").alias("n_grams"),
+        F.size(fps).cast("int").alias("n_fingerprints"),
+        F.when(F.size(fps) > 0, F.md5(F.concat_ws("", fps))).alias("fp_digest"),
+    )

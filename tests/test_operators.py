@@ -394,3 +394,53 @@ def test_url_canonicalization_rules(spark):
     groups = {r.canonical_url: r for r in dedup_by_canonical_url(df).collect()}
     assert groups["http://a.example/x?a=1&b=2"].n_variants == 3
     assert groups["https://b.example"].n_variants == 2
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The winnowing guarantee: docs sharing a substring of length >=
+    k+window-1 share at least one selected fingerprint; short docs
+    degrade gracefully."""
+    from pyspark.sql import functions as F
+
+    from readabilitysax_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "a long shared passage of text that is identical in both documents"
+    df = spark.createDataFrame(
+        [(1, "prefix one here. " + shared + " suffix alpha"),
+         (2, "different opening text! " + shared + " other ending"),
+         (3, "entirely unrelated content with nothing in common at all"),
+         (4, "tiny"),   # < k chars → no grams
+         (5, "exactly9!"),  # 2 grams (len 9, k=8) < window → global min
+         ],
+        "doc_id long, text string")
+    k, w = 8, 4
+
+    # raw selected sets via the same expressions (re-derive to compare)
+    text = F.col("text")
+    gh = F.when(
+        F.length(text) - (k - 1) >= 1,
+        F.transform(F.sequence(F.lit(1), F.length(text) - (k - 1)),
+                    lambda i: F.md5(text.substr(i, F.lit(k)))),
+    ).otherwise(F.array().cast("array<string>"))
+    sel = spark.createDataFrame([], "x int")  # placeholder not used
+    rows = {r.doc_id: r for r in winnowing_fingerprints(df, k, w).collect()}
+
+    assert rows[4].n_grams == 0 and rows[4].n_fingerprints == 0
+    assert rows[4].fp_digest is None
+    assert rows[5].n_grams == 2 and rows[5].n_fingerprints == 1
+
+    # guarantee: recompute full selections and intersect
+    full = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                F.size(gh) - (w - 1) >= 1,
+                F.transform(F.sequence(F.lit(1), F.size(gh) - (w - 1)),
+                            lambda i: F.array_min(F.slice(gh, i, w))),
+            ).when(F.size(gh) >= 1, F.array(F.array_min(gh)))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("sel"),
+    ).collect()
+    sels = {r.doc_id: set(r.sel) for r in full}
+    assert sels[1] & sels[2]            # shared passage → shared fingerprint
+    assert not (sels[1] & sels[3])      # unrelated docs don't collide
