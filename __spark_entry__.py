@@ -361,6 +361,20 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor PNG downscale (pure-stdlib decode →
+    subsample → re-encode) through mapInPandas; sizes analytic."""
+    media = multimodal.synth_media_from_documents(read_documents(spark, sf_dir))
+    return multimodal.resize_images(media, max_side=32)
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample extraction: real for wav (every-Nth PCM sample) and
+    png (self-frame); video decode is the documented stub."""
+    media = multimodal.synth_media_from_documents(read_documents(spark, sf_dir))
+    return multimodal.sample_frames(media, every_n=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_articles": _q_extract_articles,
@@ -395,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "docs_by_region": _q_docs_by_region,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -959,6 +975,44 @@ def oracle_sql() -> dict[str, str]:
                          THEN round((400.0 + doc_id % 100)
                                     / (8000 + (doc_id % 5) * 1000), 6)
                     END AS DOUBLE) AS duration_s
+        FROM documents
+    """
+
+    q["media_resize"] = """
+        WITH p AS (
+          SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h,
+                 greatest(1 + doc_id % 64, 1 + doc_id % 48) AS m
+          FROM documents WHERE doc_id % 3 = 0
+        ), s AS (
+          SELECT doc_id, w, h,
+                 CASE WHEN m <= 32 THEN w
+                      ELSE greatest(1, (w * 32) // m) END AS nw,
+                 CASE WHEN m <= 32 THEN h
+                      ELSE greatest(1, (h * 32) // m) END AS nh
+          FROM p
+        )
+        SELECT doc_id AS media_id, TRUE AS resize_ok,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(nw AS INT) AS new_width, CAST(nh AS INT) AS new_height,
+               CAST(68 + nh * (1 + nw) AS BIGINT) AS n_bytes
+        FROM s
+    """
+
+    q["media_frames"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               doc_id % 3 <> 2 AS frames_ok,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                         WHEN doc_id % 3 = 1
+                           THEN (400 + doc_id % 100 + 99) // 100
+                         ELSE 0 END AS INT) AS n_frames,
+               CAST(CASE WHEN doc_id % 3 = 0
+                           THEN 68 + (1 + doc_id % 48) * (2 + doc_id % 64)
+                         WHEN doc_id % 3 = 1
+                           THEN ((400 + doc_id % 100 + 99) // 100) * 2
+                         ELSE 0 END AS BIGINT) AS frame_bytes
         FROM documents
     """
 

