@@ -254,3 +254,15 @@ class TestImpliedCloseMatrix:
         # '</script foo=..>' terminates rawtext; junk up to '>' consumed
         assert self._fmt("<script>x</script foo='y'>after") == [
             ("O", "script"), ("T", "x"), ("C", "script"), ("T", "after")]
+
+
+def test_self_closing_only_in_foreign_context():
+    """htmlparser2 html mode ignores '/>' on non-void HTML elements
+    (the div stays open); void elements close regardless; inside
+    svg/math foreign content '/>' genuinely self-closes."""
+    assert tokenize("<div/>x</div>") == [
+        (OPEN, "div"), (TEXT, "x"), (CLOSE, "div")]
+    assert tokenize("<br/>y") == [(OPEN, "br"), (CLOSE, "br"), (TEXT, "y")]
+    assert tokenize("<svg><rect/></svg>z") == [
+        (OPEN, "svg"), (OPEN, "rect"), (CLOSE, "rect"),
+        (CLOSE, "svg"), (TEXT, "z")]
