@@ -723,13 +723,21 @@ def oracle_sql() -> dict[str, str]:
                    p -> p <> '' AND NOT regexp_matches(p, '{corpus._TRACKING_PARAM_RE}')
                  )), '&') AS qs
           FROM v
+        ), sh AS (
+          SELECT url, qs,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                 lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS raw_host
+          FROM qn
         ), c AS (
           SELECT url,
-                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
-                 || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(80|443)$', '')
+                 scheme || '://'
+                 -- scheme-aware default ports: :80 ↔ http, :443 ↔ https only
+                 || CASE WHEN scheme = 'http' THEN regexp_replace(raw_host, ':80$', '')
+                         WHEN scheme = 'https' THEN regexp_replace(raw_host, ':443$', '')
+                         ELSE raw_host END
                  || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '')
                  || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
-          FROM qn
+          FROM sh
         )
         SELECT canonical_url, COUNT(*) AS n_variants, MIN(url) AS keeper_url
         FROM c GROUP BY canonical_url ORDER BY canonical_url
@@ -746,8 +754,8 @@ def oracle_sql() -> dict[str, str]:
           FROM d
         ), t AS (
           SELECT url,
-                 list_distinct(regexp_split_to_array(pred, '\\s+')) AS p,
-                 list_distinct(regexp_split_to_array(gold, '\\s+')) AS g
+                 list_filter(list_distinct(regexp_split_to_array(pred, '\\s+')), x -> x <> '') AS p,
+                 list_filter(list_distinct(regexp_split_to_array(gold, '\\s+')), x -> x <> '') AS g
           FROM e
         ), s AS (
           SELECT url,

@@ -97,17 +97,26 @@ def pack_sequences(
     Two passes, no global sort bottleneck, byte-identical to the naive
     global window (which the DuckDB oracle uses).
 
-    Plan note: Catalyst re-shuffles on ``_part`` for the window (it
-    cannot see that spark_partition_id matches the range layout), so
-    the plan holds one range + one hash Exchange; per-key parallelism
-    equals ``num_partitions`` — size it to cluster width at scale.
-    The invariant that matters (pinned in test_plans) is NO
-    ``Exchange SinglePartition`` anywhere.
+    Plan note: the ranged+id-stamped table is checkpointed once (see
+    inline comment — range bounds are resampled per job otherwise) and
+    Catalyst re-shuffles the checkpointed rows on ``_part`` for the
+    window (it cannot see that spark_partition_id matches the range
+    layout); per-key parallelism equals ``num_partitions`` — size it
+    to cluster width at scale. The invariant that matters (pinned in
+    test_plans) is NO ``Exchange SinglePartition`` anywhere.
     """
     toks = documents.select(
         F.col(id_col), token_count(text_col).cast("bigint").alias("n_tokens")
     ).repartitionByRange(num_partitions, id_col)
-    toks = toks.withColumn("_part", F.spark_partition_id())
+    # Materialize the range layout ONCE: repartitionByRange samples its
+    # range bounds per job (seeded by RDD id), so without this the
+    # totals-collect job and the window job can land rows in DIFFERENT
+    # partitions once the input exceeds the exhaustive-sampling
+    # threshold (~sampleSizePerPartition × num_partitions rows) — the
+    # _base offsets would then be applied to the wrong partition
+    # contents. localCheckpoint pins one physical layout that both
+    # consumers read (on a cluster: checkpoint/write the staged table).
+    toks = toks.withColumn("_part", F.spark_partition_id()).localCheckpoint()
 
     part_totals = (
         toks.groupBy("_part").agg(F.sum("n_tokens").alias("_total")).collect()
@@ -153,9 +162,14 @@ def canonicalize_url(url_col: str = "url"):
     ANSI-portable for the oracle."""
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":(80|443)$", "",
+    raw_host = F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1))
+    # default-port stripping is scheme-aware: :80 is only the default
+    # for http and :443 only for https — http://h:443/x must stay
+    # distinct from http://h/x (a non-default port is a different origin)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(raw_host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(raw_host, ":443$", ""))
+        .otherwise(raw_host)
     )
     path = F.regexp_replace(
         F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", ""

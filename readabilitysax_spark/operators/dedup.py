@@ -183,8 +183,15 @@ def oversize_lsh_buckets(
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
 ) -> DataFrame:
     """(bucket, count) band-buckets that ``minhash_candidate_pairs``
-    skips at the same cap — run/log this before a capped dedup pass."""
-    sigs = minhash_signatures(documents, num_hashes, shingle_words)
+    skips at the same cap — run/log this before a capped dedup pass.
+
+    Mirrors the pairs function's NULL-signature filter exactly: without
+    it, shingle-less short docs (NULL minhashes → concat_ws collapsing
+    to the bare band index) surface as oversize buckets that pair
+    generation never creates, over-reporting the audit."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_words).where(
+        F.col("minhash_0").isNotNull()
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -127,11 +127,13 @@ def token_set_prf(
 
     All JVM expressions (split on whitespace runs, array_distinct,
     array_intersect) — one map-only pass, no shuffle, ANSI-portable for
-    the oracle. Empty prediction/gold yield 0.0 (not null) so the
-    metric aggregates cleanly.
+    the oracle. Empty tokens are removed (split yields [""] on an empty
+    string, and leading/trailing whitespace injects "" tokens that
+    would spuriously intersect), so empty prediction/gold genuinely
+    yield P=R=F1=0.0 (not null) and the metric aggregates cleanly.
     """
-    pred = F.array_distinct(F.split(F.col(pred_col), r"\s+"))
-    gold = F.array_distinct(F.split(F.col(gold_col), r"\s+"))
+    pred = F.array_remove(F.array_distinct(F.split(F.col(pred_col), r"\s+")), "")
+    gold = F.array_remove(F.array_distinct(F.split(F.col(gold_col), r"\s+")), "")
     n_pred = F.size(pred)
     n_gold = F.size(gold)
     n_inter = F.size(F.array_intersect(pred, gold))

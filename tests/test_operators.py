@@ -170,6 +170,13 @@ def test_lsh_bucket_cap_bounds_pair_join(spark):
         docs.limit(20), max_bucket_size=None
     ).count()
     assert some == 20 * 19 / 2
+    # shingle-less short docs (NULL signatures) must not surface as
+    # phantom oversize buckets — the audit applies the pairs function's
+    # exact NULL filter
+    shorties = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("tiny doc").alias("text")
+    )
+    assert oversize_lsh_buckets(shorties, max_bucket_size=10).count() == 0
 
 
 def test_embedding_near_dup_bucket_cap(spark):
@@ -242,6 +249,30 @@ def test_pack_sequences_matches_naive_global_window(spark):
         assert two_pass[r.doc_id].n_tokens == r.n_tokens
 
 
+def test_pack_sequences_above_range_sampling_threshold(spark):
+    """repartitionByRange resamples its range bounds per job, so the
+    totals pass and the window pass can disagree on partition contents
+    once the input exceeds the exhaustive-sampling threshold
+    (~sampleSizePerPartition × num_partitions ≈ 3.2k rows). The staged
+    table is checkpointed to pin ONE layout; this 50k-row check is the
+    regression guard for the silent-offset-corruption failure mode."""
+    from readabilitysax_spark.operators.corpus import pack_sequences
+
+    n = 50_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 7 + 1).cast("int"))
+        ).alias("text"),
+    )
+    out = pack_sequences(docs, budget=64).orderBy("doc_id").collect()
+    assert len(out) == n
+    expect = 0
+    for r in out:
+        assert r.start_offset == expect, f"doc {r.doc_id}"
+        expect += r.n_tokens
+
+
 def test_stratified_sample_nested_and_deterministic(spark):
     from readabilitysax_spark.operators.corpus import stratified_sample
 
@@ -263,12 +294,17 @@ def test_token_set_prf_math(spark):
     df = spark.createDataFrame(
         [(1, "a b c d", "a b x y"),   # P=0.5 R=0.5 F1=0.5
          (2, "a a b", "a b"),         # set-based: P=R=F1=1.0
-         (3, "", "a"), (4, "a", "")], # empty sides -> 0.0
+         (3, "", "a"), (4, "a", ""),  # empty sides -> 0.0
+         (5, "", ""),                 # empty vs empty -> 0.0 (not 1.0
+                                      # via the [""] split artifact)
+         (6, "  a  ", "a")],          # padding must not inject "" tokens
         "doc_id long, pred string, gold string")
     rows = {r.doc_id: r for r in token_set_prf(df, "pred", "gold").collect()}
     assert rows[1].precision == 0.5 and rows[1].recall == 0.5 and rows[1].f1 == 0.5
     assert rows[2].f1 == 1.0
     assert rows[3].f1 == 0.0 and rows[4].f1 == 0.0
+    assert rows[5].precision == 0.0 and rows[5].recall == 0.0 and rows[5].f1 == 0.0
+    assert rows[6].precision == 1.0 and rows[6].recall == 1.0 and rows[6].f1 == 1.0
 
 
 def test_repetition_stats_flags_boilerplate(spark):
@@ -384,6 +420,9 @@ def test_url_canonicalization_rules(spark):
         ("https://b.example/",),
         ("https://b.example",),
         ("https://c.example:443/p?fbclid=zzz",),
+        ("http://d.example:443/x",),   # NON-default port: must survive
+        ("https://d.example:80/x",),   # NON-default port: must survive
+        ("http://d.example:8080/x",),
     ], "url string")
     canon = {r.url: r.c for r in df.select("url", canonicalize_url().alias("c")).collect()}
     assert canon["http://a.example/x/?b=2&a=1#frag"] == "http://a.example/x?a=1&b=2"
@@ -391,6 +430,10 @@ def test_url_canonicalization_rules(spark):
     assert canon["http://A.EXAMPLE:80/x?a=1&b=2"] == "http://a.example/x?a=1&b=2"
     assert canon["https://b.example/"] == canon["https://b.example"] == "https://b.example"
     assert canon["https://c.example:443/p?fbclid=zzz"] == "https://c.example/p"
+    # default-port stripping is scheme-aware: these are distinct origins
+    assert canon["http://d.example:443/x"] == "http://d.example:443/x"
+    assert canon["https://d.example:80/x"] == "https://d.example:80/x"
+    assert canon["http://d.example:8080/x"] == "http://d.example:8080/x"
     groups = {r.canonical_url: r for r in dedup_by_canonical_url(df).collect()}
     assert groups["http://a.example/x?a=1&b=2"].n_variants == 3
     assert groups["https://b.example"].n_variants == 2
