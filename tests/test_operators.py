@@ -179,6 +179,32 @@ def test_lsh_bucket_cap_bounds_pair_join(spark):
     assert oversize_lsh_buckets(shorties, max_bucket_size=10).count() == 0
 
 
+def test_ivf_prebuilt_full_probe_equals_brute_force(spark):
+    """Probing every inverted list is an exact search: ivf_search over
+    the prebuilt index with n_probe = n_lists must equal brute-force
+    top-k row-for-row (the recall knob degrades coverage, never
+    arithmetic)."""
+    from readabilitysax_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(v) for v in
+            emb.where("vec_id = 0").select("embedding").head()[0]]
+    corpus_df = emb.where("vec_id <> 0")
+    centroids, assigned = similarity.build_ivf_index(
+        corpus_df, n_lists=4, n_iter=2
+    )
+    exact = similarity.brute_force_topk(corpus_df, qvec, k=10).collect()
+    full_probe = similarity.ivf_search(
+        assigned, centroids, qvec, n_probe=4, k=10
+    ).collect()
+    assert [tuple(r) for r in full_probe] == [tuple(r) for r in exact]
+    # partial probe returns k rows whose cosines are a subset of plausible
+    # candidates and are sorted descending
+    part = similarity.ivf_search(assigned, centroids, qvec, n_probe=2, k=10).collect()
+    assert len(part) == 10
+    assert [r.cosine for r in part] == sorted((r.cosine for r in part), reverse=True)
+
+
 def test_embedding_near_dup_bucket_cap(spark):
     """Same cap semantics on the embedding-space near-dup join."""
     from pyspark.sql import functions as F

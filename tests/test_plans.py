@@ -84,6 +84,26 @@ def test_pack_sequences_no_single_partition_window(spark):
     assert "BroadcastExchange" in plan  # per-partition base offsets
 
 
+def test_ivf_prebuilt_search_no_query_time_assign(spark):
+    """The build/search split's whole point: after build_ivf_index, a
+    search is a probe filter over the materialized list_id column plus
+    a top-k — NO full-corpus centroid assignment (the array_max-over-
+    struct expression) may appear in the query-time plan, and the
+    ranking must be a TakeOrdered, not a full sort."""
+    from readabilitysax_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    qvec = [float(v) for v in
+            emb.where("vec_id = 0").select("embedding").head()[0]]
+    centroids, assigned = similarity.build_ivf_index(
+        emb.where("vec_id <> 0"), n_lists=4, n_iter=2
+    )
+    plan = _plan(similarity.ivf_search(assigned, centroids, qvec, n_probe=2, k=5))
+    assert "array_max" not in plan
+    assert "list_id" in plan  # the probe filter on the prebuilt column
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_simhash64_pairs_bounded_plan(spark):
     """Band join, never a cartesian product."""
     plan = _plan(entry.queries()["dedup_simhash64_pairs"](spark, SF_TINY))
