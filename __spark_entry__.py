@@ -489,8 +489,11 @@ WITH sh AS (
 
 
 def _minhash_select(num_hashes: int) -> str:
+    # minhash_k = min over shingles of the (k mod 4)-th 8-hex window of
+    # md5('{k//4}:' || shingle) — mirrors dedup.minhash_signatures
     cols = ", ".join(
-        f"min(md5('{k}:' || s)) AS minhash_{k}" for k in range(num_hashes)
+        f"min(substring(md5('{k // 4}:' || s), {1 + 8 * (k % 4)}, 8)) AS minhash_{k}"
+        for k in range(num_hashes)
     )
     return f"{_MINHASH_CTE} SELECT doc_id, {cols} FROM sig GROUP BY doc_id"
 
