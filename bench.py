@@ -241,6 +241,48 @@ def fixture_throughput(reps: int = 60) -> dict:
     }
 
 
+def streaming_bench(pages_path: str, cpus: int = 8) -> dict:
+    """Structured Streaming extraction throughput (VERDICT r2 item 6):
+    drains the materialized pages directory through the file-source
+    stream (availableNow trigger, parquet sink + checkpoint), reports
+    rows/s and asserts the exactly-once invariant (output rows ==
+    input rows after a full drain; the checkpoint makes re-runs
+    no-ops)."""
+    from readabilitysax_spark.streaming.extract_stream import run_stream_to_parquet
+
+    out_dir = os.path.join(WORK_DIR, "stream_out")
+    ckpt_dir = os.path.join(WORK_DIR, "stream_ckpt")
+    for p in (out_dir, ckpt_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_in = spark.read.parquet(pages_path).count()
+    t0 = time.perf_counter()
+    q = run_stream_to_parquet(
+        spark, pages_path, out_dir, ckpt_dir, max_files_per_trigger=16
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    n_out = spark.read.parquet(out_dir).count()
+    n_dupes = (
+        spark.read.parquet(out_dir).groupBy("url").count()
+        .where(F.col("count") > 1).count()
+    )
+    # restart against the same checkpoint: must be a no-op (exactly-once)
+    q2 = run_stream_to_parquet(spark, pages_path, out_dir, ckpt_dir)
+    q2.awaitTermination()
+    n_after_rerun = spark.read.parquet(out_dir).count()
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_out / wall, 1) if wall else None,
+        "exactly_once": n_out == n_in == n_after_rerun and n_dupes == 0,
+    }
+
+
 def bench_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict]:
     import __spark_entry__ as entry
 
@@ -354,6 +396,7 @@ def main() -> None:
             "normalized_saturated_efficiency": normalized,
         },
         "ivf_index": ivf_index,
+        "streaming": streaming_bench(quarter_path, cpus=max(CPUS // 4, 1)),
         "reference_fixture": fixture_throughput(),
         "skew_defusal": skew_demo(CPUS),
     }))
