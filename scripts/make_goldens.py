@@ -75,6 +75,52 @@ PAGES = {
             "nextPage": "http://dispatch.example/notes/heat-9/page/2",
         },
     },
+    # round-3 path-coverage pages (VERDICT r2 item 4): each forces one
+    # golden-unexercised quirk branch on organic-style markup; the
+    # branch-level structural asserts live in test_reference_goldens.py
+    # S16 a>img replacement: image-href <a><img></a> drops BOTH nodes
+    # (readability-sax.ts stale-parent pointer quirk); non-image href
+    # keeps the anchor
+    "photopage": {
+        "path": os.path.join(ROOT, "tests/fixtures/photopage.html"),
+        "url": "http://dispatch.example/photo/rig-7/",
+        "settings": {"resolvePaths": True},
+        "anchor": {"skipLevel": 0},
+    },
+    # S10 unpack chains: div>div>div wrappers unpack; loose div text
+    # becomes a scored <p>
+    "nestedpage": {
+        "path": os.path.join(ROOT, "tests/fixtures/nestedpage.html"),
+        "url": "http://dispatch.example/notes/duct-3/",
+        "settings": {"resolvePaths": True},
+        "anchor": {"skipLevel": 0},
+    },
+    # S24 sibling join, all three p-branches: >=80 chars & density<0.25
+    # (standfirst with link) joined; <80 chars & density 0 & sentence
+    # (coda) joined; short p with link excluded
+    "cellarlog": {
+        "path": os.path.join(ROOT, "tests/fixtures/cellarlog.html"),
+        "url": "http://dispatch.example/log/week-12/",
+        "settings": {"resolvePaths": True},
+        "anchor": {"skipLevel": 0},
+    },
+    # S23/S9: level 0 strips the unlikely wrapper (len<250), level 1's
+    # weightClasses picks the tiny positive-classed teaser (len<250),
+    # level 2 (weights off) recovers the letters — skipLevel == 2
+    "letterspage": {
+        "path": os.path.join(ROOT, "tests/fixtures/letterspage.html"),
+        "url": "http://dispatch.example/letters/heat-1/",
+        "settings": {},
+        "anchor": {"skipLevel": 2},
+    },
+    # S5/S6 + RCDATA: entities decoded inside <title>; the 4-word <h1>
+    # substring of the decoded title becomes the header title
+    "rcdatapage": {
+        "path": os.path.join(ROOT, "tests/fixtures/rcdatapage.html"),
+        "url": "http://dispatch.example/series/heat-mass/",
+        "settings": {},
+        "anchor": {"title": "Heat & Mass Pipes", "skipLevel": 0},
+    },
 }
 
 # hostile snippets: tokenizer/entity/implied-close edge cases from

@@ -131,3 +131,76 @@ class TestUnicodepageAnchors:
         assert "新しい釜" not in text       # sidebar stripped
         assert "ディスパッチ技報" not in text.split("\n")[-1] or True
         assert "Schließlich eine deutsche Passage" in text
+
+
+class TestPathCoveragePages:
+    """Round-3 organic fixtures: each pins one previously golden-
+    unexercised quirk branch (VERDICT r2 item 4). The byte-exact pins
+    live in golden/; these asserts verify the BRANCH actually fired,
+    so a refactor that silently stops exercising the path fails here
+    even if the pinned bytes happen to survive."""
+
+    def test_photopage_a_img_replacement_fired(self):
+        """S16: an image-href <a> wrapping exactly one <img> triggers
+        the replacement, whose literal stale-parent pointer semantics
+        drop BOTH nodes from the article; a non-image href keeps the
+        anchor (branch not taken)."""
+        html_out = _read("photopage.html.txt")
+        assert "rig-full.jpg" not in html_out      # replaced <a> gone
+        assert "rig-thumb.jpg" not in html_out     # replaced <img> gone too
+        assert "rig-context.html" in html_out      # non-image href survives
+        assert "rig-context-thumb.jpg" in html_out
+        text = _read("photopage.text.txt")
+        assert "kettle room" in text and "cold joint" in text
+
+    def test_nestedpage_unpack_chain(self):
+        """S10: presentational div chains unpack; a loose text run
+        directly inside a div is renamed to <p> and scored."""
+        html_out = _read("nestedpage.html.txt")
+        assert "<p>Loose run of text directly inside a div" in html_out
+        assert "layout-cell" not in html_out       # wrappers not in article
+        text = _read("nestedpage.text.txt")
+        for frag in ("layout soup", "template system", "Loose run"):
+            assert frag in text
+
+    def test_cellarlog_sibling_branches(self):
+        """S24, all three p-sibling branches on one page: the >=80-char
+        low-density standfirst joins, the <80-char density-0 sentence
+        coda joins, the short linked p is excluded."""
+        spec = PAGES["cellarlog"]
+        html = open(spec["path"], encoding="utf-8").read()
+        r = Readability({"pageURL": spec["url"], "resolvePaths": True})
+        replay(tokenize(html), r)
+        r.get_article()
+        sibs = _get_candidate_siblings(r._top_candidate)
+        texts = [s.to_string() for s in sibs]
+        assert any("Standfirst" in t for t in texts)       # long branch
+        assert any("Short coda ends here." in t for t in texts)  # sentence branch
+        assert not any("previous entry" in t for t in texts)     # excluded
+        text = _read("cellarlog.text.txt")
+        assert "Standfirst" in text and "Short coda ends here." in text
+        assert "previous entry" not in text
+
+    def test_letterspage_skip_level_two(self):
+        """S23/S9/weightClasses: level 0 strips the unlikely-id wrapper
+        (<250 chars), level 1's class weights pick the tiny positive-
+        classed teaser (<250 chars), level 2 with weightClasses off
+        recovers the negative-classed letters."""
+        meta = json.loads(_read("letterspage.meta.json"))
+        assert meta["skipLevel"] == 2
+        text = _read("letterspage.text.txt")
+        assert "heat-tracing series" in text
+        assert "Editor's note" not in text  # teaser is NOT the candidate
+
+    def test_rcdata_title_header_reconciliation(self):
+        """S5/S6: entities decode inside the RCDATA <title>; the 4-word
+        <h1> that is a substring of the decoded title becomes the
+        header title (readability-sax.ts header-match branch)."""
+        meta = json.loads(_read("rcdatapage.meta.json"))
+        assert meta["title"] == "Heat & Mass Pipes"  # & and — decoded
+        spec = PAGES["rcdatapage"]
+        html = open(spec["path"], encoding="utf-8").read()
+        r = Readability({"pageURL": spec["url"]})
+        replay(tokenize(html), r)
+        assert r._orig_title == "Heat & Mass Pipes — Dispatch Journal"
+        assert r._header_title == "Heat & Mass Pipes"
