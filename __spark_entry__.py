@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from readabilitysax_spark.operators import (
     corpus,
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -190,6 +191,58 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("url")
     )
     return corpus.dedup_by_canonical_url(variants)
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic PII planted in a footer (the
+    synthetic corpus has none): every doc gets an email + IPv4; even
+    doc_ids also get an E.164-style phone — so counts vary per row."""
+    docs = read_documents(spark, sf_dir)
+    phone = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(" call +1 555 010 0199 first,")
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact doc"), F.col("doc_id"),
+            F.lit("@example.com or"), phone,
+            F.lit(" host 10.0."), F.col("doc_id") % 256,
+            F.lit("."), F.col("doc_id") % 100, F.lit(" today."),
+        ),
+    )
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only PII scrub with per-kind audit counts."""
+    return curation.redact_pii(_pii_docs(spark, sf_dir))
+
+
+_BENCHMARK_EVERY = 25  # every 25th doc doubles as the "eval benchmark"
+_DECON_NGRAM = 8
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 8-gram with the
+    planted eval set (every 25th doc) are flagged with hit counts —
+    broadcast semi-join, corpus never shuffles."""
+    docs = read_documents(spark, sf_dir)
+    benchmark = docs.where(F.col("doc_id") % _BENCHMARK_EVERY == 0)
+    return curation.decontaminate(
+        docs, benchmark, n=_DECON_NGRAM
+    ).orderBy("doc_id")
+
+
+_BLOCKED_SOURCES = ("src0", "src7", "src13")
+
+
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist anti-join (broadcast) over the pages table."""
+    blocked = spark.createDataFrame(
+        [(f"{s}.example",) for s in _BLOCKED_SOURCES], "domain string"
+    )
+    pages = read_pages(spark, sf_dir).select("url", "lang")
+    return curation.filter_blocklist(pages, blocked).orderBy("url")
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
+        "pii_redaction": _q_pii_redaction,
+        "decontamination": _q_decontamination,
+        "blocklist_filter": _q_blocklist_filter,
         "lang_id": _q_lang_id,
         "extraction_eval": _q_extraction_eval,
         "top_quality_docs": _q_top_quality_docs,
@@ -739,6 +795,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, start_offset, first_pack, last_pack,
                CAST(last_pack - first_pack + 1 AS INT) AS n_packs
         FROM p ORDER BY doc_id
+    """
+
+    # PII redaction: synthesis + the same engine-portable regexes;
+    # DuckDB regexp_replace needs the 'g' flag (first-match default),
+    # and counts come from len(regexp_extract_all). Built by .replace()
+    # because the regexes contain {m,n} braces.
+    q["pii_redaction"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' Contact doc' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or'
+                      || CASE WHEN doc_id % 2 = 0
+                              THEN ' call +1 555 010 0199 first,' ELSE '' END
+                      || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR) || ' today.' AS t
+          FROM documents
+        ), r1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '@EMAIL@')) AS n_emails,
+                 regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g') AS c1
+          FROM p
+        ), r2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(c1, '@PHONE@')) AS n_phones,
+                 regexp_replace(c1, '@PHONE@', '<PHONE>', 'g') AS c2
+          FROM r1
+        )
+        SELECT doc_id,
+               regexp_replace(c2, '@IP@', '<IP>', 'g') AS clean_text,
+               CAST(n_emails AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(c2, '@IP@')) AS INT) AS n_ipv4,
+               CAST(n_phones AS INT) AS n_phones
+        FROM r2
+    """.replace("@EMAIL@", curation.RE_EMAIL).replace(
+        "@PHONE@", curation.RE_PHONE
+    ).replace("@IP@", curation.RE_IPV4)
+
+    q["decontamination"] = f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= {_DECON_NGRAM} THEN
+                        [array_to_string(w[i:i+{_DECON_NGRAM - 1}], ' ')
+                         for i in range(1, len(w) - {_DECON_NGRAM - 2})]
+                        ELSE []::VARCHAR[] END) AS gram
+          FROM w
+        ), bg AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCHMARK_EVERY} = 0
+        )
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM g JOIN bg USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """
+
+    blocked = ", ".join(f"'{s}'" for s in _BLOCKED_SOURCES)
+    q["blocklist_filter"] = f"""
+        SELECT 'http://' || source || '.example/articles/doc-' || doc_id AS url,
+               lang
+        FROM documents
+        WHERE source NOT IN ({blocked})
+        ORDER BY url
     """
 
     q["lang_id"] = _lang_id_sql()

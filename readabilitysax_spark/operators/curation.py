@@ -1,0 +1,133 @@
+"""Corpus-curation operators a production LLM training pipeline runs
+between extraction and tokenization: PII redaction, benchmark
+decontamination, and domain blocklist filtering.
+
+All three are pure Catalyst plans (JVM regexp/array/join expressions,
+no Python UDFs) and all are DuckDB-oracle-checkable — the regexes are
+written to the common subset of Java regex and RE2 (no backreferences,
+no lookaround) so both engines match identical spans.
+
+Scale notes:
+* PII redaction is map-only — zero shuffle at any corpus size.
+* Decontamination broadcasts the benchmark n-gram set (eval suites are
+  KBs–MBs against a 100 TB corpus) so the overlap probe is a map-side
+  broadcast semi-join: the corpus is never shuffled.
+* Blocklist filtering broadcasts the blocked-domain dim the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# conservative, engine-portable patterns (Java regex ∩ RE2). Scope is
+# deliberately narrow so both engines agree span-for-span: the phone
+# pattern only matches the +CC NNN NNN[N] NNN[N] international shape —
+# production would swap in a richer pattern set behind the same
+# redact_pii plumbing.
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+RE_PHONE = r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -][0-9]{3,4}"
+
+
+def redact_pii(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_ipv4, n_phones): PII spans
+    replaced with typed placeholder tokens, per-kind counts kept for
+    the curation audit trail. Map-only (redaction must touch every
+    byte of a 100 TB corpus exactly once — any shuffle here doubles
+    the most expensive pass of the pipeline)."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(RE_EMAIL))
+    # order matters: emails first (an email's host part can contain
+    # digit runs), then phones, then bare IPv4s
+    cleaned = F.regexp_replace(t, RE_EMAIL, "<EMAIL>")
+    n_phones = F.regexp_count(cleaned, F.lit(RE_PHONE))
+    cleaned = F.regexp_replace(cleaned, RE_PHONE, "<PHONE>")
+    n_ipv4 = F.regexp_count(cleaned, F.lit(RE_IPV4))
+    cleaned = F.regexp_replace(cleaned, RE_IPV4, "<IP>")
+    return documents.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
+def _ngram_hashes(text_col: str, n: int):
+    """md5 hashes of word n-grams (array column) — hashing keeps the
+    broadcast set small and the comparison fixed-width."""
+    w = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct n-gram hash set of an eval/benchmark suite — the tiny
+    side of the decontamination join (built once per benchmark,
+    broadcast to every executor)."""
+    return (
+        benchmark.select(F.explode(_ngram_hashes(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / FineWeb
+    procedure shape): flag every training doc sharing ≥1 word n-gram
+    with the benchmark. Returns (doc_id, n_hits) for CONTAMINATED docs
+    only — anti-join these away before training.
+
+    The corpus side stays where it is: docs explode to (doc_id, gram)
+    and probe the BROADCAST benchmark set; one partial-agg shuffle of
+    (doc_id, count) pairs for contaminated docs only — at 100 TB the
+    shuffled volume is proportional to contamination, not corpus size.
+    """
+    grams = benchmark_ngrams(benchmark, text_col, n)
+    doc_grams = documents.select(
+        F.col(id_col), F.explode(_ngram_hashes(text_col, n)).alias("gram")
+    )
+    return (
+        doc_grams.join(F.broadcast(grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+
+
+def filter_blocklist(
+    pages: DataFrame,
+    blocked_domains: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages whose (www.-normalized) domain is on a blocklist —
+    broadcast anti-join, the fact table never shuffles. ``blocked_domains``
+    is a one-column ``domain`` DataFrame (curation lists are tiny)."""
+    domain = F.regexp_replace(
+        F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1), "^www\\.", ""
+    ).alias("_domain")
+    return (
+        pages.withColumn("_domain", domain)
+        .join(
+            F.broadcast(blocked_domains.select(F.col("domain").alias("_domain"))),
+            "_domain",
+            "left_anti",
+        )
+        .drop("_domain")
+    )
