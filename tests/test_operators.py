@@ -384,7 +384,13 @@ def test_all_doc_operators_survive_hostile_docs(spark):
     empty text, whitespace, single word/char, unicode-only, numerals.
     (One crashing row at 10^12 docs kills its task; found the
     shingle/divide-by-zero class of bugs — this pins the sweep.)"""
-    from readabilitysax_spark.operators import corpus, dedup, multimodal, textstats
+    from readabilitysax_spark.operators import (
+        corpus,
+        curation,
+        dedup,
+        multimodal,
+        textstats,
+    )
 
     rows = [
         (0, "", "en", "src0", 0),
@@ -420,6 +426,11 @@ def test_all_doc_operators_survive_hostile_docs(spark):
                           "text AS html", "lang"), size_col="html"),
         lambda: multimodal.extract_media_features(
             multimodal.synth_media_from_documents(df)),
+        lambda: curation.redact_pii(df),
+        lambda: curation.decontaminate(df, df.limit(2)),
+        lambda: curation.filter_blocklist(
+            df.selectExpr("concat('http://', source, '.example/d/', doc_id) AS url"),
+            df.sparkSession.createDataFrame([("src1.example",)], "domain string")),
     ]
     for op in ops:
         assert op().count() >= 0  # must not raise
