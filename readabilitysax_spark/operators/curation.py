@@ -58,17 +58,24 @@ def redact_pii(
     )
 
 
-def _ngram_hashes(text_col: str, n: int):
-    """md5 hashes of word n-grams (array column) — hashing keeps the
-    broadcast set small and the comparison fixed-width."""
-    w = F.split(F.col(text_col), " ")
-    return F.when(
+def _ngram_hash_table(
+    df: DataFrame, text_col: str, n: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(keep..., grams): md5 hashes of word n-grams — hashing keeps
+    the broadcast set small and the comparison fixed-width. The split
+    word array gets its OWN projection (same staging as
+    dedup.shingle_table: inlining the split inside the per-position
+    lambda re-evaluates it per n-gram — O(words²) per doc)."""
+    w = F.col("_w")
+    grams = F.when(
         F.size(w) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(w) - (n - 1)),
             lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, n))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    staged = df.select(*keep, F.split(F.col(text_col), " ").alias("_w"))
+    return staged.select(*keep, grams.alias("grams"))
 
 
 def benchmark_ngrams(
@@ -78,7 +85,8 @@ def benchmark_ngrams(
     side of the decontamination join (built once per benchmark,
     broadcast to every executor)."""
     return (
-        benchmark.select(F.explode(_ngram_hashes(text_col, n)).alias("gram"))
+        _ngram_hash_table(benchmark, text_col, n)
+        .select(F.explode("grams").alias("gram"))
         .distinct()
     )
 
@@ -101,8 +109,8 @@ def decontaminate(
     shuffled volume is proportional to contamination, not corpus size.
     """
     grams = benchmark_ngrams(benchmark, text_col, n)
-    doc_grams = documents.select(
-        F.col(id_col), F.explode(_ngram_hashes(text_col, n)).alias("gram")
+    doc_grams = _ngram_hash_table(documents, text_col, n, keep=(id_col,)).select(
+        F.col(id_col), F.explode("grams").alias("gram")
     )
     return (
         doc_grams.join(F.broadcast(grams), "gram")
