@@ -383,6 +383,33 @@ def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_training_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FineWeb-style curation composition in ONE plan:
+    blocklist → quality gate → exact-dedup keepers → benchmark
+    decontamination — what actually feeds the tokenizer. Every stage
+    is an operator verified standalone above; this query pins that
+    they COMPOSE (joins stay broadcast/anti, corpus scanned once per
+    stage input)."""
+    docs = read_documents(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [(s,) for s in _BLOCKED_SOURCES], "source string"
+    )
+    kept = docs.join(F.broadcast(blocked), "source", "left_anti")
+    quality = textstats.quality_stats(kept)
+    dups = dedup.exact_duplicates(kept)
+    benchmark = docs.where(F.col("doc_id") % _BENCHMARK_EVERY == 0)
+    contaminated = curation.decontaminate(kept, benchmark, n=_DECON_NGRAM)
+    return (
+        kept.join(quality, "doc_id")
+        .join(dups.select("doc_id", "is_dup"), "doc_id")
+        .join(contaminated.select("doc_id"), "doc_id", "left_anti")
+        .where((~F.col("is_dup")) & (F.col("quality_score") >= 0.5)
+               & (F.col("n_words") >= 10))
+        .select("doc_id", "lang", "n_words", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read_embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").head()[0])
@@ -498,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_similarity_ivf_topk,
         "similarity_ivf_prebuilt_topk": _q_similarity_ivf_prebuilt_topk,
         "training_corpus": _q_training_corpus,
+        "training_corpus_curated": _q_training_corpus_curated,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
@@ -1082,6 +1110,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, n_words, quality_score
         FROM sc
         WHERE NOT is_dup AND quality_score >= 0.5 AND n_words >= 10
+        ORDER BY doc_id
+    """
+
+    q["training_corpus_curated"] = f"""
+        WITH kept AS (
+          SELECT * FROM documents WHERE source NOT IN ({blocked})
+        ), t AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+                 doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+          FROM kept
+        ), s AS (
+          SELECT doc_id, lang, is_dup,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(round(CAST(length(list_filter(w, x -> list_contains({list(textstats.STOPWORDS)!r}, x))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS stopword_ratio,
+                 CAST(round(CAST(length(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS digit_ratio
+          FROM t
+        ), sc AS (
+          SELECT doc_id, lang, is_dup, n_words,
+                 CAST(round(least(n_words / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3
+                            + (1.0 - digit_ratio) * 0.2, 6) AS DOUBLE) AS quality_score
+          FROM s
+        ), kg AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) >= {_DECON_NGRAM} THEN
+                        [array_to_string(w[i:i+{_DECON_NGRAM - 1}], ' ')
+                         for i in range(1, len(w) - {_DECON_NGRAM - 2})]
+                        ELSE []::VARCHAR[] END) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kept)
+        ), bg AS (
+          SELECT DISTINCT unnest(CASE WHEN len(w) >= {_DECON_NGRAM} THEN
+                        [array_to_string(w[i:i+{_DECON_NGRAM - 1}], ' ')
+                         for i in range(1, len(w) - {_DECON_NGRAM - 2})]
+                        ELSE []::VARCHAR[] END) AS gram
+          FROM (SELECT string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % {_BENCHMARK_EVERY} = 0)
+        ), contaminated AS (
+          SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (gram)
+        )
+        SELECT doc_id, lang, n_words, quality_score
+        FROM sc
+        WHERE NOT is_dup AND quality_score >= 0.5 AND n_words >= 10
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         ORDER BY doc_id
     """
 

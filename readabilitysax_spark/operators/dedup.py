@@ -306,7 +306,11 @@ def near_dup_clusters(
     (label := label of label), which halves chain lengths — together
     they converge in O(log diameter) rounds instead of O(diameter).
     ``localCheckpoint`` truncates the growing plan lineage per round
-    (on a cluster: ``checkpoint`` to durable storage).
+    (on a cluster: ``checkpoint`` to durable storage). The iteration
+    runs over EDGE-TOUCHED nodes only — isolated docs are fixpoints
+    from round 0, so at 10^12 docs the per-round joins move the
+    near-dup subgraph (∝ duplicate mass), not the corpus; singletons
+    rejoin via one final left join.
     """
     pairs = ngram_jaccard_pairs(documents, threshold, num_hashes, shingle_words)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -314,7 +318,12 @@ def near_dup_clusters(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).localCheckpoint()
 
-    labels = documents.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # both edge directions are present, so src alone covers every
+    # edge-touched node
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -351,9 +360,15 @@ def near_dup_clusters(
         if changed == 0:
             break
 
+    # singletons (never in any pair) are their own clusters — one left
+    # join, no iteration cost for the overwhelming majority of a corpus
+    full = documents.select("doc_id").join(labels, "doc_id", "left")
+    full = full.withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
     w = Window.partitionBy("cluster_id")
     return (
-        labels.withColumn("cluster_size", F.count("*").over(w))
+        full.withColumn("cluster_size", F.count("*").over(w))
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
     )
