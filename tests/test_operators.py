@@ -439,10 +439,16 @@ def test_all_doc_operators_survive_hostile_docs(spark):
 def test_empty_documents_table(spark):
     from readabilitysax_spark.operators import dedup, textstats
 
+    from readabilitysax_spark.operators import corpus, curation
+
     df = spark.createDataFrame([], "doc_id long, text string, lang string")
     assert dedup.exact_duplicates(df).count() == 0
     assert dedup.ngram_jaccard_pairs(df).count() == 0
     assert textstats.repetition_stats(df).count() == 0
+    assert dedup.near_dup_clusters(df).count() == 0
+    assert corpus.pack_sequences(df).count() == 0  # empty offsets path
+    assert curation.redact_pii(df).count() == 0
+    assert curation.decontaminate(df, df).count() == 0
 
 
 def test_url_canonicalization_rules(spark):
