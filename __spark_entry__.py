@@ -294,6 +294,12 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_stats_by_lang(read_documents(spark, sf_dir))
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang length-distribution profile (exact quantiles; the
+    curation-threshold rollup)."""
+    return textstats.corpus_profile(read_documents(spark, sf_dir))
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate quality signals."""
     return textstats.repetition_stats(read_documents(spark, sf_dir))
@@ -518,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "fingerprints": _q_fingerprints,
         "corpus_stats_by_lang": _q_corpus_stats,
+        "corpus_profile": _q_corpus_profile,
         "repetition_stats": _q_repetition_stats,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
         "similarity_topk": _q_similarity_topk,
@@ -1060,6 +1067,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS fp_full,
                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_sorted_vocab
         FROM documents
+    """
+
+    q["corpus_profile"] = """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(round(quantile_cont(n_chars, 0.5), 6) AS DOUBLE) AS median_chars,
+               CAST(round(quantile_cont(n_chars, 0.9), 6) AS DOUBLE) AS p90_chars
+        FROM documents GROUP BY lang ORDER BY lang
     """
 
     q["corpus_stats_by_lang"] = """

@@ -116,6 +116,29 @@ def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_profile(documents: DataFrame, size_col: str = "n_chars") -> DataFrame:
+    """Distribution profile per language: (lang, n_docs, n_sources,
+    median_chars, p90_chars) — the length-distribution rollup behind
+    curation thresholds (Gopher/FineWeb pick their length cutoffs from
+    exactly these quantiles).
+
+    Uses EXACT ``percentile`` so the DuckDB oracle (``quantile_cont``,
+    identical linear interpolation — verified value-equal) can check
+    it; at 10^12 rows swap in ``approx_percentile(col, q, accuracy)``
+    — same plan shape, sketch-based partial aggregation instead of a
+    per-group sort, identical column contract."""
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.round(F.percentile(size_col, 0.5), 6).alias("median_chars"),
+            F.round(F.percentile(size_col, 0.9), 6).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def token_set_prf(
     df: DataFrame,
     pred_col: str,
