@@ -142,6 +142,28 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SPAN_WORDS = 3
+
+
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level corpus dedup: first occurrence of each
+    3-word span wins corpus-wide; docs reassembled from survivors."""
+    return dedup.remove_duplicate_spans(
+        read_documents(spark, sf_dir), span_words=_SPAN_WORDS
+    ).orderBy("doc_id")
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: odd doc_ids are the NEW crawl snapshot,
+    evens the existing corpus; each new doc gets exact + LSH near-dup
+    flags against the old side only (the old corpus is never re-deduped
+    against itself)."""
+    docs = read_documents(spark, sf_dir)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    old_docs = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup(new_docs, old_docs).orderBy("doc_id")
+
+
 _MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
 _MIX_DEFAULT = 0.1
 
@@ -247,6 +269,25 @@ def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(read_documents(spark, sf_dir))
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gates as per-rule booleans + keep flag."""
+    return textstats.gopher_quality_flags(read_documents(spark, sf_dir))
+
+
+_VOCAB_TOP_K = 100
+
+
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency top-k (tokenizer/vocab training pass)."""
+    return corpus.vocab_stats(read_documents(spark, sf_dir), top_k=_VOCAB_TOP_K)
+
+
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cluster-occupancy audit over the prebuilt index assignment."""
+    _, assigned = _ivf_index(spark, sf_dir)
+    return similarity.embedding_cluster_stats(assigned)
 
 
 def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64_pairs": _q_dedup_simhash64_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_spans": _q_dedup_spans,
+        "dedup_incremental": _q_dedup_incremental,
         "corpus_sample_mixture": _q_corpus_sample_mixture,
         "pack_sequences": _q_pack_sequences,
         "domain_stats": _q_domain_stats,
@@ -519,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": _q_decontamination,
         "blocklist_filter": _q_blocklist_filter,
         "lang_id": _q_lang_id,
+        "gopher_quality": _q_gopher_quality,
+        "vocab_stats": _q_vocab_stats,
         "extraction_eval": _q_extraction_eval,
         "top_quality_docs": _q_top_quality_docs,
         "text_quality": _q_text_quality,
@@ -531,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": _q_similarity_lsh_topk,
         "similarity_ivf_topk": _q_similarity_ivf_topk,
         "similarity_ivf_prebuilt_topk": _q_similarity_ivf_prebuilt_topk,
+        "embedding_clusters": _q_embedding_clusters,
         "training_corpus": _q_training_corpus,
         "training_corpus_curated": _q_training_corpus_curated,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -795,6 +841,85 @@ def oracle_sql() -> dict[str, str]:
         FROM lab ORDER BY doc_id
     """
 
+    q["dedup_spans"] = f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), spl AS (
+          SELECT doc_id, unnest(
+            [{{'pos': i, 'span': array_to_string(
+                 w[i * {_SPAN_WORDS} + 1 : i * {_SPAN_WORDS} + {_SPAN_WORDS}], ' ')}}
+             for i in range(0, CAST(ceil(len(w) / {_SPAN_WORDS}.0) AS BIGINT))]
+          ) AS s
+          FROM w
+        ), sp AS (
+          SELECT doc_id, CAST(s['pos'] AS INT) AS pos, s['span'] AS span FROM spl
+        ), k AS (
+          SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+          FROM sp
+        ), agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                 array_to_string(list(span ORDER BY pos), ' ') AS clean_text
+          FROM k WHERE rn = 1 GROUP BY doc_id
+        ), tot AS (
+          SELECT doc_id,
+                 CAST(ceil(len(string_split(text, ' ')) / {_SPAN_WORDS}.0) AS INT) AS n_spans
+          FROM documents
+        )
+        SELECT t.doc_id AS doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               t.n_spans AS n_spans,
+               CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+               CAST(t.n_spans - coalesce(a.n_kept, 0) AS INT) AS n_removed
+        FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        ORDER BY doc_id
+    """
+
+    # incremental dedup: per-side minhash sigs (same digest-window
+    # construction as _minhash_select, FROM a filtered snapshot)
+    def _sig_cte(src: str, num_hashes: int) -> str:
+        cols = ", ".join(
+            f"min(substring(md5('{k // 4}:' || s), {1 + 8 * (k % 4)}, 8)) AS minhash_{k}"
+            for k in range(num_hashes)
+        )
+        return f"""(
+          SELECT doc_id, {cols} FROM (
+            SELECT doc_id, unnest(
+              [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+            ) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
+          ) GROUP BY doc_id
+        )"""
+
+    _nh = dedup.DEFAULT_NUM_HASHES
+    _unpivot_cols = ", ".join(f"minhash_{k} AS '{k}'" for k in range(_nh))
+    q["dedup_incremental"] = f"""
+        WITH newd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        ), oldd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ), nsig AS {_sig_cte('newd', _nh)},
+        osig AS {_sig_cte('oldd', _nh)},
+        nbands AS (
+          SELECT doc_id, band, band_hash FROM nsig
+          UNPIVOT (band_hash FOR band IN ({_unpivot_cols}))
+        ), obands AS (
+          SELECT doc_id, band, band_hash FROM osig
+          UNPIVOT (band_hash FOR band IN ({_unpivot_cols}))
+        ), near AS (
+          SELECT n.doc_id, CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_near_hits
+          FROM nbands n
+          JOIN obands o ON n.band = o.band AND n.band_hash = o.band_hash
+          GROUP BY n.doc_id
+        )
+        SELECT d.doc_id AS doc_id,
+               md5(d.text) IN (SELECT DISTINCT md5(text) FROM oldd) AS exact_dup,
+               CAST(coalesce(near.n_near_hits, 0) AS BIGINT) AS n_near_hits,
+               coalesce(near.n_near_hits, 0) > 0 AS near_dup
+        FROM newd d LEFT JOIN near ON near.doc_id = d.doc_id
+        ORDER BY doc_id
+    """
+
     mix_case = " ".join(
         f"WHEN '{k}' THEN '{corpus.sample_threshold_hex(r)}'"
         for k, r in sorted(_MIX_RATES.items())
@@ -895,6 +1020,55 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["lang_id"] = _lang_id_sql()
+
+    _stop_list = "[" + ", ".join(f"'{s}'" for s in stop) + "]"
+    q["gopher_quality"] = f"""
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS w, length(text) AS lc
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(round((lc - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
+                      AS DOUBLE) AS mean_word_len,
+                 CAST(round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                      / CAST(len(w) AS DOUBLE), 6) AS DOUBLE) AS alpha_ratio,
+                 CAST(length(list_intersect(list_distinct(w), {_stop_list}))
+                      AS INT) AS n_stop_distinct
+          FROM s
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop_distinct,
+               (n_words >= {textstats.GOPHER_MIN_WORDS}
+                AND n_words <= {textstats.GOPHER_MAX_WORDS}) AS ok_n_words,
+               (mean_word_len >= {textstats.GOPHER_MIN_WORD_LEN}
+                AND mean_word_len <= {textstats.GOPHER_MAX_WORD_LEN}) AS ok_word_len,
+               alpha_ratio >= {textstats.GOPHER_MIN_ALPHA_RATIO} AS ok_alpha,
+               n_stop_distinct >= {textstats.GOPHER_MIN_STOPWORDS} AS ok_stop,
+               ((n_words >= {textstats.GOPHER_MIN_WORDS}
+                 AND n_words <= {textstats.GOPHER_MAX_WORDS})
+                AND (mean_word_len >= {textstats.GOPHER_MIN_WORD_LEN}
+                     AND mean_word_len <= {textstats.GOPHER_MAX_WORD_LEN})
+                AND alpha_ratio >= {textstats.GOPHER_MIN_ALPHA_RATIO}
+                AND n_stop_distinct >= {textstats.GOPHER_MIN_STOPWORDS}) AS keep
+        FROM m
+    """
+
+    q["vocab_stats"] = f"""
+        WITH c AS (
+          SELECT word,
+                 CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word
+          ORDER BY n_occurrences DESC, word
+          LIMIT {_VOCAB_TOP_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, word)
+                    AS INT) AS rank,
+               word, n_occurrences, n_docs
+        FROM c
+    """
 
     q["domain_stats"] = """
         SELECT source || '.example' AS domain,
@@ -1320,7 +1494,11 @@ def oracle_sql() -> dict[str, str]:
     # nearest the query; rank within probed lists. The CTE chain is
     # generated so the 1-step (ad-hoc ivf_topk) and 2-step (prebuilt
     # index) queries share one verified construction.
-    def _ivf_sql(n_iter: int, n_lists: int = 8, n_probe: int = 2) -> str:
+    def _ivf_assigned_ctes(n_iter: int, n_lists: int = 8) -> list[str]:
+        """CTE chain ending in ``af`` = the full-corpus assignment
+        against the final (post-``n_iter``-Lloyd-step) centroids — the
+        oracle twin of ``build_ivf_index``'s ``assigned`` table, shared
+        by the search and the cluster-stats oracles."""
         ctes = [f"""e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v
           FROM embeddings WHERE vec_id <> 0
@@ -1353,11 +1531,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM cent{r} GROUP BY list_id) cl USING (list_id)
         )""")
         fin = f"centroids{n_iter}"
-        ctes.append(f"""probes AS (
-          SELECT list_id FROM {fin}, q
-          ORDER BY {_cos('c', 'qv')} DESC, list_id
-          LIMIT {n_probe}
-        ), af AS (
+        ctes.append(f"""af AS (
           SELECT vec_id, v, list_id FROM (
             SELECT e.vec_id, e.v, cs.list_id,
                    row_number() OVER (
@@ -1366,6 +1540,16 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM e CROSS JOIN {fin} cs
           ) WHERE rn = 1
+        )""")
+        return ctes
+
+    def _ivf_sql(n_iter: int, n_lists: int = 8, n_probe: int = 2) -> str:
+        ctes = _ivf_assigned_ctes(n_iter, n_lists)
+        fin = f"centroids{n_iter}"
+        ctes.append(f"""probes AS (
+          SELECT list_id FROM {fin}, q
+          ORDER BY {_cos('c', 'qv')} DESC, list_id
+          LIMIT {n_probe}
         )""")
         return (
             "WITH " + ",\n".join(ctes) + f"""
@@ -1379,5 +1563,15 @@ def oracle_sql() -> dict[str, str]:
 
     q["similarity_ivf_topk"] = _ivf_sql(n_iter=1)
     q["similarity_ivf_prebuilt_topk"] = _ivf_sql(n_iter=_IVF_N_ITER)
+
+    q["embedding_clusters"] = (
+        "WITH " + ",\n".join(_ivf_assigned_ctes(_IVF_N_ITER)) + """
+        SELECT list_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               MIN(vec_id) AS min_vec_id,
+               MAX(vec_id) AS max_vec_id
+        FROM af GROUP BY list_id ORDER BY list_id
+    """
+    )
 
     return q

@@ -202,3 +202,34 @@ def dedup_by_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+def vocab_stats(documents: DataFrame, top_k: int = 100) -> DataFrame:
+    """(rank, word, n_occurrences, n_docs) — corpus word-frequency
+    top-k, the first pass of tokenizer/vocabulary training (BPE seeds,
+    frequency cutoffs, coverage curves all start here).
+
+    Scale shape: explode → ONE hash-shuffle on word with map-side
+    partial aggregation (count and the per-word distinct-doc agg both
+    combine), then TakeOrderedAndProject for the top-k — the global
+    sort never materializes. ``rank`` is numbered on the already-
+    limited k rows, so the single-partition window touches k rows,
+    not the corpus.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = (
+        words.groupBy("word")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("word"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word"))
+    return counts.select(
+        F.row_number().over(w).alias("rank"),
+        "word", "n_occurrences", "n_docs",
+    )

@@ -374,6 +374,153 @@ def near_dup_clusters(
     )
 
 
+def remove_duplicate_spans(
+    documents: DataFrame,
+    span_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style span-level corpus dedup: chunk every document into
+    consecutive ``span_words``-word spans, keep only the FIRST
+    occurrence of each span corpus-wide (first = lowest (doc_id, pos)),
+    and reassemble each document from its surviving spans.
+
+    Returns (doc_id, clean_text, n_spans, n_kept, n_removed) for EVERY
+    input doc — a fully-despanned doc keeps its row with clean_text ''
+    so downstream length filters (not silent drops) decide its fate.
+
+    This is the corpus-level "discard repeated three-sentence spans"
+    rule from C4 (Raffel et al., JMLR 2020 §2.2) re-expressed over word
+    spans: our synthetic docs carry no sentence punctuation, and the
+    operator is agnostic to what the span tokenizer is.
+
+    Scale shape: one shuffle keyed on the span string for the
+    first-occurrence window (uniform — spans hash well; a degenerate
+    boilerplate span makes a hot key, but the window computes only
+    row_number over it, never a pair join, so the cost is a sort of
+    that key's rows, not O(n²)); one shuffle on doc_id to reassemble;
+    the join back to the input is doc_id-co-partitioned with the
+    reassembly. No all-pairs anything, no driver-side state.
+    """
+    w = F.col("_w")
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    span_structs = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(
+                " ", F.slice(w, i * span_words + 1, span_words)
+            ).alias("span"),
+        ),
+    )
+    # the split word array gets its own projection (shingle_table's
+    # hot-loop staging: inlining split inside the lambda is O(words²))
+    staged = documents.select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    ).select(id_col, F.explode(span_structs).alias("s"))
+    spans = staged.select(id_col, F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
+    first = Window.partitionBy("span").orderBy(id_col, "pos")
+    kept = (
+        spans.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    totals = documents.select(
+        id_col,
+        F.ceil(
+            F.size(F.split(F.col(text_col), " ")) / F.lit(span_words)
+        ).cast("int").alias("n_spans"),
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_spans") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int").alias("n_removed"),
+        )
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+) -> DataFrame:
+    """Cross-snapshot dedup — the shape every recurring crawl runs:
+    flag each NEW-snapshot doc against the EXISTING corpus without ever
+    re-deduping the old corpus against itself.
+
+    Returns one row per new doc: (doc_id, exact_dup, n_near_hits,
+    near_dup) where exact_dup = an old doc has identical text and
+    n_near_hits = how many distinct old docs share ≥1 minhash LSH band.
+
+    Scale shape: the old snapshot contributes only its text-hash set
+    and its band table — both precomputable/materialized once per
+    snapshot (at 10^12 docs they live as bucketed tables; here they are
+    built inline). Both probes are hash-keyed joins (md5 / band hash —
+    uniform keys), aggregated to per-doc flags before the final
+    doc_id-keyed assembly join. The new snapshot is scanned once per
+    probe; nothing is ever joined all-pairs.
+    """
+    new_hashed = new_docs.select("doc_id", F.md5("text").alias("h"))
+    old_hashes = old_docs.select(F.md5("text").alias("h")).distinct()
+    exact = (
+        new_hashed.join(old_hashes.withColumn("_hit", F.lit(1)), "h", "left")
+        .select("doc_id", (F.col("_hit").isNotNull()).alias("exact_dup"))
+    )
+
+    def band_table(docs: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(docs, num_hashes, shingle_words).where(
+            F.col("minhash_0").isNotNull()
+        )
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.concat_ws("|", F.lit(str(k)), F.col(f"minhash_{k}"))
+                    for k in range(num_hashes)
+                ])
+            ).alias("bucket"),
+        )
+
+    near = (
+        band_table(new_docs)
+        .join(
+            band_table(old_docs).select(
+                F.col("bucket"), F.col("doc_id").alias("old_id")
+            ),
+            "bucket",
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("old_id").cast("bigint").alias("n_near_hits"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_near_hits", F.lit(0).cast("bigint")).alias("n_near_hits"),
+            (F.coalesce("n_near_hits", F.lit(0)) > 0).alias("near_dup"),
+        )
+    )
+
+
 # ---- simhash: shared SQL fragment so Spark and any ANSI oracle agree ----
 
 def simhash_sql_expr(word_expr: str, bits: int = 16) -> str:

@@ -358,3 +358,27 @@ def bucket_sql_expr(vec_expr: str, dim: int, n_planes: int, seed: int = 42) -> s
         for i, lit in enumerate(hyperplanes_sql_literals(dim, n_planes, seed))
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def embedding_cluster_stats(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(list_id, n_vecs, min_vec_id, max_vec_id) — cluster occupancy
+    rollup over a prebuilt IVF assignment (``build_ivf_index``'s
+    ``assigned`` output). The balance audit an ANN deployment runs
+    after every index build: skewed lists mean skewed probe latency,
+    and an empty list means a wasted centroid.
+
+    One shuffle on list_id (at most n_lists groups; partial agg makes
+    the shuffle volume n_lists rows per task regardless of corpus
+    size)."""
+    return (
+        assigned.groupBy("list_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min(id_col).alias("min_vec_id"),
+            F.max(id_col).alias("max_vec_id"),
+        )
+        .orderBy("list_id")
+    )

@@ -279,3 +279,58 @@ def winnowing_fingerprints(
         F.size(fps).cast("int").alias("n_fingerprints"),
         F.when(F.size(fps) > 0, F.md5(F.concat_ws("", fps))).alias("fp_digest"),
     )
+
+
+# Gopher-style per-rule quality gates (Rae et al. 2021 §A1.1 shape,
+# thresholds adapted): unlike quality_stats' composite score, each rule
+# is a separate boolean so curation runs can report WHICH gate dropped
+# each doc — the per-rule audit FineWeb/Dolma pipelines log.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.80
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, alpha_ratio, n_stop_distinct,
+    ok_n_words, ok_word_len, ok_alpha, ok_stop, keep) — Gopher-rule
+    quality gates as independent booleans plus the conjunction.
+
+    Map-only (flags must touch every doc exactly once; at 100 TB this
+    rides the same scan as extraction output). All JVM expressions, no
+    UDFs; every term is replicated verbatim in the DuckDB oracle.
+
+    mean_word_len uses the separator identity (chars - (words-1)) /
+    words — exact for single-space-separated text, and the same
+    arithmetic the oracle runs, so engines agree to the bit.
+    """
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        (F.length("text") - (n_words - 1)) / n_words, 6
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words, 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+    ok_n_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_word_len = (mean_word_len >= GOPHER_MIN_WORD_LEN) & (
+        mean_word_len <= GOPHER_MAX_WORD_LEN
+    )
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return documents.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.cast("int").alias("n_stop_distinct"),
+        ok_n_words.alias("ok_n_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_n_words & ok_word_len & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -428,6 +428,12 @@ def test_all_doc_operators_survive_hostile_docs(spark):
             multimodal.synth_media_from_documents(df)),
         lambda: curation.redact_pii(df),
         lambda: curation.decontaminate(df, df.limit(2)),
+        lambda: dedup.remove_duplicate_spans(df),
+        lambda: dedup.incremental_dedup(
+            df.where(F.col("doc_id") % 2 == 1),
+            df.where(F.col("doc_id") % 2 == 0)),
+        lambda: textstats.gopher_quality_flags(df),
+        lambda: corpus.vocab_stats(df, top_k=5),
         lambda: curation.filter_blocklist(
             df.selectExpr("concat('http://', source, '.example/d/', doc_id) AS url"),
             df.sparkSession.createDataFrame([("src1.example",)], "domain string")),
@@ -449,6 +455,10 @@ def test_empty_documents_table(spark):
     assert corpus.pack_sequences(df).count() == 0  # empty offsets path
     assert curation.redact_pii(df).count() == 0
     assert curation.decontaminate(df, df).count() == 0
+    assert dedup.remove_duplicate_spans(df).count() == 0
+    assert dedup.incremental_dedup(df, df).count() == 0
+    assert textstats.gopher_quality_flags(df).count() == 0
+    assert corpus.vocab_stats(df).count() == 0
 
 
 def test_url_canonicalization_rules(spark):
@@ -569,3 +579,110 @@ def test_media_frames_stage(spark):
             assert r.frames_ok and r.n_frames == 1
         else:
             assert not r.frames_ok and r.n_frames == 0  # codec stub
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """First occurrence (lowest doc_id, pos) of each span wins
+    corpus-wide; survivors reassemble in original order; a fully
+    despanned doc keeps its row with clean_text ''."""
+    from readabilitysax_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f"),          # spans: "a b c", "d e f"
+        (2, "a b c x y z"),          # loses "a b c" to doc 1
+        (3, "d e f a b c"),          # loses both
+        (4, "p q r"),                # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, span_words=3).collect()}
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert (out[1]["n_spans"], out[1]["n_kept"], out[1]["n_removed"]) == (2, 2, 0)
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_removed"]) == (0, 2)
+    assert out[4]["clean_text"] == "p q r"
+
+
+def test_remove_duplicate_spans_within_doc_order(spark):
+    """A span repeated INSIDE one doc keeps only its first position,
+    and reassembly preserves the positional order of survivors."""
+    from readabilitysax_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(7, "a b c m m m a b c z z z")], "doc_id long, text string")
+    row = dedup.remove_duplicate_spans(df, span_words=3).head()
+    assert row["clean_text"] == "a b c m m m z z z"
+    assert (row["n_spans"], row["n_kept"], row["n_removed"]) == (4, 3, 1)
+
+
+def test_incremental_dedup_flags(spark):
+    """Exact copy of an old doc → exact_dup (and near via identical
+    bands); shingle-overlapping variant → near only; novel doc →
+    neither. The old snapshot is never compared against itself."""
+    from readabilitysax_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame(
+        [(0, base), (2, "completely different old content here today")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, base),                                     # exact dup of 0
+            (3, base + " tail tail tail tail"),            # near dup of 0
+            (5, "utterly novel text sharing no shingles whatsoever"),
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(new, old).collect()}
+    assert out[1]["exact_dup"] and out[1]["near_dup"]
+    assert not out[3]["exact_dup"] and out[3]["near_dup"]
+    assert not out[5]["exact_dup"] and not out[5]["near_dup"]
+    assert out[5]["n_near_hits"] == 0
+
+
+def test_gopher_flags_per_rule(spark):
+    from readabilitysax_spark.operators import textstats
+
+    rows = [
+        (0, " ".join(["the", "and"] + ["word"] * 60)),  # passes all
+        (1, "too short the and"),                        # fails n_words
+        (2, " ".join(["1234"] * 80 + ["the", "and"])),   # fails alpha
+        (3, " ".join(["wordy"] * 80)),                   # fails stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.gopher_quality_flags(df).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["ok_n_words"] and not out[1]["keep"]
+    assert not out[2]["ok_alpha"] and not out[2]["keep"]
+    assert not out[3]["ok_stop"] and not out[3]["keep"]
+    # every failure above isolates ONE rule; the others stay true
+    assert out[1]["ok_alpha"] and out[1]["ok_stop"]
+    assert out[2]["ok_n_words"] and out[2]["ok_stop"]
+    assert out[3]["ok_n_words"] and out[3]["ok_alpha"]
+
+
+def test_vocab_stats_counts_and_rank(spark):
+    from readabilitysax_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(0, "b a a"), (1, "a b c")], "doc_id long, text string")
+    out = corpus.vocab_stats(df, top_k=2).collect()
+    assert [(r["rank"], r["word"], r["n_occurrences"], r["n_docs"])
+            for r in out] == [(1, "a", 3, 2), (2, "b", 2, 2)]
+
+
+def test_embedding_cluster_stats_partition_the_corpus(spark):
+    """Cluster occupancies must partition the assigned corpus: sizes
+    sum to the row count and every list_id is within range."""
+    from readabilitysax_spark.operators import similarity
+    from .conftest import SF_TINY
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").where(
+        F.col("vec_id") != 0)
+    _, assigned = similarity.build_ivf_index(emb, n_lists=4, n_iter=1)
+    stats = similarity.embedding_cluster_stats(assigned).collect()
+    assert sum(r["n_vecs"] for r in stats) == emb.count()
+    assert all(0 <= r["list_id"] < 4 for r in stats)
+    assert all(r["min_vec_id"] <= r["max_vec_id"] for r in stats)
