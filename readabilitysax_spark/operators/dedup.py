@@ -394,13 +394,16 @@ def remove_duplicate_spans(
     spans: our synthetic docs carry no sentence punctuation, and the
     operator is agnostic to what the span tokenizer is.
 
-    Scale shape: one shuffle keyed on the span string for the
-    first-occurrence window (uniform — spans hash well; a degenerate
-    boilerplate span makes a hot key, but the window computes only
-    row_number over it, never a pair join, so the cost is a sort of
-    that key's rows, not O(n²)); one shuffle on doc_id to reassemble;
-    the join back to the input is doc_id-co-partitioned with the
-    reassembly. No all-pairs anything, no driver-side state.
+    Scale shape: the first-occurrence winner per span is
+    min(struct(doc_id, pos)) — a plain aggregation, NOT a window, and
+    the winner rows ARE the kept occurrences, so no join back to the
+    occurrence table is needed. That makes the operator skew-immune by
+    construction: a boilerplate span repeated 10^9 times collapses to
+    one row per map task in the partial (map-side) combine before the
+    shuffle ever happens, where a row_number window would sort the
+    entire hot key on one reducer. Remaining shuffles: the span-keyed
+    agg (combiner-reduced) and the doc_id-keyed reassembly. No window,
+    no pair join, no driver-side state.
     """
     w = F.col("_w")
     n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
@@ -419,10 +422,16 @@ def remove_duplicate_spans(
         id_col, F.split(F.col(text_col), " ").alias("_w")
     ).select(id_col, F.explode(span_structs).alias("s"))
     spans = staged.select(id_col, F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
-    first = Window.partitionBy("span").orderBy(id_col, "pos")
+    # winner per span = lowest (doc_id, pos); struct-min combines
+    # map-side, and the winner rows are themselves the kept occurrences
     kept = (
-        spans.withColumn("rn", F.row_number().over(first))
-        .where(F.col("rn") == 1)
+        spans.groupBy("span")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .select(
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.pos").alias("pos"),
+            "span",
+        )
         .groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_kept"),

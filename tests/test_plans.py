@@ -109,3 +109,35 @@ def test_simhash64_pairs_bounded_plan(spark):
     plan = _plan(entry.queries()["dedup_simhash64_pairs"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_spans_no_window_no_join(spark):
+    """Span dedup must stay skew-immune: the first-occurrence winner is
+    a map-side-combinable struct-min aggregation — no row_number window
+    (which would sort every occurrence of a hot boilerplate span on one
+    reducer) and no join back to the occurrence table."""
+    plan = _plan(entry.queries()["dedup_spans"](spark, SF_TINY))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the span agg
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_quality_is_map_only(spark):
+    plan = _plan(entry.queries()["gopher_quality"](spark, SF_TINY))
+    assert "Exchange" not in plan
+
+
+def test_vocab_stats_partial_agg_and_topk(spark):
+    """One word-keyed shuffle with map-side partial aggregation, top-k
+    via TakeOrderedAndProject (never a full global sort), and the rank
+    window runs on the already-limited k rows."""
+    plan = _plan(entry.queries()["vocab_stats"](spark, SF_TINY))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0].split("Window")[0]
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    plan = _plan(entry.queries()["dedup_incremental"](spark, SF_TINY))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
