@@ -276,6 +276,12 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_quality_flags(read_documents(spark, sf_dir))
 
 
+def _q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter signal (unigram LM order so the
+    oracle reproduces the model exactly)."""
+    return textstats.unigram_cross_entropy(read_documents(spark, sf_dir))
+
+
 _VOCAB_TOP_K = 100
 
 
@@ -563,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q_blocklist_filter,
         "lang_id": _q_lang_id,
         "gopher_quality": _q_gopher_quality,
+        "unigram_cross_entropy": _q_unigram_cross_entropy,
         "vocab_stats": _q_vocab_stats,
         "extraction_eval": _q_extraction_eval,
         "top_quality_docs": _q_top_quality_docs,
@@ -1051,6 +1058,24 @@ def oracle_sql() -> dict[str, str]:
                 AND alpha_ratio >= {textstats.GOPHER_MIN_ALPHA_RATIO}
                 AND n_stop_distinct >= {textstats.GOPHER_MIN_STOPWORDS}) AS keep
         FROM m
+    """
+
+    q["unigram_cross_entropy"] = """
+        WITH wds AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), c AS (
+          SELECT word, COUNT(*) AS n FROM wds GROUP BY word
+        ), t AS (
+          SELECT SUM(n) AS tot FROM c
+        ), lm AS (
+          SELECT word, ln(n / CAST(tot AS DOUBLE)) AS logp FROM c, t
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(round(AVG(-logp), 6) AS DOUBLE) AS avg_neg_logp
+        FROM wds JOIN lm USING (word)
+        GROUP BY doc_id
     """
 
     q["vocab_stats"] = f"""

@@ -334,3 +334,37 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         ok_stop.alias("ok_stop"),
         (ok_n_words & ok_word_len & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, avg_neg_logp) — per-doc average negative log
+    probability under the corpus's own unigram LM: the CCNet/KenLM
+    perplexity-filter shape (Wenzek et al. 2020) with the n-gram order
+    cut to 1 so the model is exactly reproducible in the SQL oracle.
+    High avg_neg_logp = improbable word mix = filter candidate.
+
+    Scale shape: the LM table (word, logp) is ONE word-keyed shuffle
+    with map-side combine; the corpus total is a broadcast cross join
+    of a single aggregate row (never a driver collect of row data).
+    Scoring joins the exploded corpus to the LM table — broadcast-able
+    whenever the vocab fits an executor (web-scale top-K vocabs do; a
+    trained LM is always a small dim against a 100 TB fact), then one
+    doc_id-keyed aggregation. Train and score read the same corpus, so
+    there is no OOV path (a held-out LM would add smoothing here).
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "word", F.log(F.col("n") / F.col("tot")).alias("logp")
+    )
+    return (
+        words.join(F.broadcast(lm), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.round(F.avg(-F.col("logp")), 6).alias("avg_neg_logp"),
+        )
+    )

@@ -433,6 +433,7 @@ def test_all_doc_operators_survive_hostile_docs(spark):
             df.where(F.col("doc_id") % 2 == 1),
             df.where(F.col("doc_id") % 2 == 0)),
         lambda: textstats.gopher_quality_flags(df),
+        lambda: textstats.unigram_cross_entropy(df),
         lambda: corpus.vocab_stats(df, top_k=5),
         lambda: curation.filter_blocklist(
             df.selectExpr("concat('http://', source, '.example/d/', doc_id) AS url"),
@@ -458,6 +459,7 @@ def test_empty_documents_table(spark):
     assert dedup.remove_duplicate_spans(df).count() == 0
     assert dedup.incremental_dedup(df, df).count() == 0
     assert textstats.gopher_quality_flags(df).count() == 0
+    assert textstats.unigram_cross_entropy(df).count() == 0
     assert corpus.vocab_stats(df).count() == 0
 
 
@@ -686,3 +688,18 @@ def test_embedding_cluster_stats_partition_the_corpus(spark):
     assert sum(r["n_vecs"] for r in stats) == emb.count()
     assert all(0 <= r["list_id"] < 4 for r in stats)
     assert all(r["min_vec_id"] <= r["max_vec_id"] for r in stats)
+
+
+def test_unigram_cross_entropy_orders_rarity(spark):
+    """A doc of corpus-common words must score LOWER (more probable)
+    than a doc of corpus-rare words, and a uniform corpus gives every
+    doc the same entropy."""
+    from readabilitysax_spark.operators import textstats
+
+    rows = [(i, "common common common common") for i in range(8)]
+    rows += [(8, "common common common common"), (9, "rare words here only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_neg_logp"]
+           for r in textstats.unigram_cross_entropy(df).collect()}
+    assert out[9] > out[0]
+    assert all(out[i] == out[0] for i in range(1, 9))

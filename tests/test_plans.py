@@ -141,3 +141,47 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = _plan(entry.queries()["dedup_incremental"](spark, SF_TINY))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_cross_entropy_lm_is_broadcast(spark):
+    """The LM table must join the corpus by BROADCAST (the dim is a
+    vocab, tiny against a 100 TB fact) — never a shuffled fact join or
+    a cartesian product."""
+    plan = _plan(entry.queries()["unigram_cross_entropy"](spark, SF_TINY))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on the LM build
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Bucketing demo for co-located joins: two tables bucketed+sorted
+    on doc_id join WITHOUT any Exchange — the physical layout carries
+    the partitioning, which is how repeated 100 TB joins amortize their
+    shuffle (write once bucketed, join forever shuffle-free)."""
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    base = tmp_path_factory.mktemp("bucketed")
+    for name in ("b_docs", "b_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (docs.select("doc_id", "text")
+         .write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(base / "b_docs"))
+         .mode("overwrite").saveAsTable("b_docs"))
+    (docs.select("doc_id", "lang", "n_chars")
+         .write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .option("path", str(base / "b_stats"))
+         .mode("overwrite").saveAsTable("b_stats"))
+    # at fixture scale the planner would broadcast (hiding the layout);
+    # disable it so the test exercises the co-located SMJ path a 100 TB
+    # fact-fact join takes
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_docs").join(
+            spark.table("b_stats").where(F.col("n_chars") > 0), "doc_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
