@@ -283,6 +283,15 @@ def _q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VOCAB_TOP_K = 100
+_DOMAIN_CAP = 10
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: 10 largest docs per source domain (skew-safe
+    two-phase top-n)."""
+    return corpus.cap_per_domain(
+        read_documents(spark, sf_dir), n=_DOMAIN_CAP
+    ).orderBy("domain", "rank_in_domain")
 
 
 def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "unigram_cross_entropy": _q_unigram_cross_entropy,
         "vocab_stats": _q_vocab_stats,
+        "domain_cap": _q_domain_cap,
         "extraction_eval": _q_extraction_eval,
         "top_quality_docs": _q_top_quality_docs,
         "text_quality": _q_text_quality,
@@ -1058,6 +1068,20 @@ def oracle_sql() -> dict[str, str]:
                 AND alpha_ratio >= {textstats.GOPHER_MIN_ALPHA_RATIO}
                 AND n_stop_distinct >= {textstats.GOPHER_MIN_STOPWORDS}) AS keep
         FROM m
+    """
+
+    q["domain_cap"] = f"""
+        SELECT doc_id, domain, n_chars,
+               CAST(rank_in_domain AS INT) AS rank_in_domain
+        FROM (
+          SELECT doc_id, source AS domain, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                 ) AS rank_in_domain
+          FROM documents
+        ) WHERE rank_in_domain <= {_DOMAIN_CAP}
+        ORDER BY domain, rank_in_domain
     """
 
     q["unigram_cross_entropy"] = """

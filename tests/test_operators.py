@@ -435,6 +435,7 @@ def test_all_doc_operators_survive_hostile_docs(spark):
         lambda: textstats.gopher_quality_flags(df),
         lambda: textstats.unigram_cross_entropy(df),
         lambda: corpus.vocab_stats(df, top_k=5),
+        lambda: corpus.cap_per_domain(df, n=2),
         lambda: curation.filter_blocklist(
             df.selectExpr("concat('http://', source, '.example/d/', doc_id) AS url"),
             df.sparkSession.createDataFrame([("src1.example",)], "domain string")),
@@ -461,6 +462,9 @@ def test_empty_documents_table(spark):
     assert textstats.gopher_quality_flags(df).count() == 0
     assert textstats.unigram_cross_entropy(df).count() == 0
     assert corpus.vocab_stats(df).count() == 0
+    assert corpus.cap_per_domain(
+        df.withColumn("source", df.lang).withColumn(
+            "n_chars", F.length("text"))).count() == 0
 
 
 def test_url_canonicalization_rules(spark):
@@ -703,3 +707,15 @@ def test_unigram_cross_entropy_orders_rarity(spark):
            for r in textstats.unigram_cross_entropy(df).collect()}
     assert out[9] > out[0]
     assert all(out[i] == out[0] for i in range(1, 9))
+
+
+def test_cap_per_domain_partitioning_invariant(spark):
+    """The capped survivor set must be identical on every physical
+    partitioning of the input (deterministic total order)."""
+    from readabilitysax_spark.operators.corpus import cap_per_domain
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    expected = sorted(map(tuple, cap_per_domain(docs, n=3).collect()))
+    for parts in (1, 7, 32):
+        got = cap_per_domain(docs.repartition(parts), n=3)
+        assert sorted(map(tuple, got.collect())) == expected, parts

@@ -185,3 +185,13 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         assert joined.count() == docs.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_domain_cap_partial_window_group_limit(spark):
+    """The per-domain cap must prune map-side before the domain
+    shuffle: Catalyst's WindowGroupLimit rewrite must appear in
+    Partial mode (a mega-domain reaches the reducer as <= n rows per
+    map task, not its full row set), and no single-partition funnel."""
+    plan = _plan(entry.queries()["domain_cap"](spark, SF_TINY))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "Exchange SinglePartition" not in plan
