@@ -23,6 +23,7 @@ from readabilitysax_spark.operators import (
     corpus,
     curation,
     dedup,
+    extract,
     multimodal,
     similarity,
     textstats,
@@ -265,6 +266,30 @@ def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = read_pages(spark, sf_dir).select("url", "lang")
     return curation.filter_blocklist(pages, blocked).orderBy("url")
+
+
+def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph pass: every <a href> per page, resolved with the
+    reference's own URL semantics (same vectorized map shape as
+    extraction — zero shuffle)."""
+    return extract.extract_outlinks(read_pages(spark, sf_dir))
+
+
+def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree rollup over the outlink table: links/pages per target
+    domain (one shuffle on the domain key)."""
+    links = extract.extract_outlinks(read_pages(spark, sf_dir))
+    domain = F.regexp_extract("href", "^[a-z]+://([^/]+)", 1)
+    return (
+        links.withColumn("target_domain", domain)
+        .where(F.col("target_domain") != "")
+        .groupBy("target_domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_links"),
+            F.count_distinct("url").cast("bigint").alias("n_pages"),
+        )
+        .orderBy("target_domain")
+    )
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "decontamination": _q_decontamination,
         "blocklist_filter": _q_blocklist_filter,
+        "outlinks": _q_outlinks,
+        "link_graph": _q_link_graph,
         "lang_id": _q_lang_id,
         "gopher_quality": _q_gopher_quality,
         "unigram_cross_entropy": _q_unigram_cross_entropy,
@@ -1034,6 +1061,39 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE source NOT IN ({blocked})
         ORDER BY url
+    """
+
+    # outlinks: the synthesized page carries exactly 5 anchors, all
+    # analytic in (source, doc_id); href="/" resolves to 'http:/' —
+    # the reference's own _convertLinks quirk, reproduced bit-for-bit
+    _outlinks_cte = """
+        SELECT url, CAST(s['pos'] AS INT) AS link_pos,
+               s['href'] AS href, s['t'] AS anchor_text
+        FROM (
+          SELECT 'http://' || source || '.example/articles/doc-' || doc_id AS url,
+                 unnest([
+                   {'pos': 0, 'href': 'http:/', 't': 'home'},
+                   {'pos': 1, 'href': 'http://' || source || '.example/about',
+                    't': 'about'},
+                   {'pos': 2, 'href': 'http://' || source ||
+                    '.example/articles/doc-' || doc_id || '/page/2', 't': '2'},
+                   {'pos': 3, 'href': 'http://' || source ||
+                    '.example/articles/doc-' || doc_id || '/page/3', 't': '3'},
+                   {'pos': 4, 'href': 'http://' || source || '.example/imprint',
+                    't': 'imprint'}
+                 ]) AS s
+          FROM documents
+        )
+    """
+    q["outlinks"] = _outlinks_cte
+    q["link_graph"] = f"""
+        WITH links AS ({_outlinks_cte})
+        SELECT regexp_extract(href, '^[a-z]+://([^/]+)', 1) AS target_domain,
+               CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages
+        FROM links
+        WHERE regexp_extract(href, '^[a-z]+://([^/]+)', 1) <> ''
+        GROUP BY 1 ORDER BY target_domain
     """
 
     q["lang_id"] = _lang_id_sql()

@@ -201,3 +201,111 @@ def extract_articles(
         ),
         ddl,
     )
+
+
+# ---- outlink extraction (the web-graph pass over the same pages scan) ----
+
+OUTLINKS_DDL = "url string, link_pos int, href string, anchor_text string"
+
+_OUTLINKS_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("link_pos", pa.int32()),
+        pa.field("href", pa.string()),
+        pa.field("anchor_text", pa.string()),
+    ]
+)
+
+
+def collect_outlinks(
+    html: str | bytes,
+    url: str | None,
+    resolve_paths: bool = True,
+) -> list[tuple[int, str, str]]:
+    """All <a href> links of a page as (pos, resolved_href, anchor_text).
+
+    Resolution mirrors the reference's attribute semantics exactly
+    (readability-sax.ts:369-421 S3 + :240-269 _convertLinks): absolute
+    hrefs (``^\\w+:``) pass through verbatim, everything else resolves
+    against the page URL — including the reference's quirks (href="/"
+    → "<protocol>:/"), so link rows agree byte-for-byte with what the
+    extractor's own pagination scanner sees. href-less and
+    empty-href anchors are dropped (the reference skips empty
+    attribute values). A new <a> while one is open implicitly closes
+    the previous (browser behavior; HTML forbids nesting).
+    """
+    from ..core.tokenizer import ATTR, CLOSE, OPEN, TEXT, tokenize
+    from ..core.urls import RE_PROTOCOL, convert_links, parse_page_url
+
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    info = parse_page_url(url) if url else None
+    out: list[tuple[str, str]] = []
+    in_a = False
+    cur_href: str | None = None
+    cur_text: list[str] = []
+
+    def close_anchor() -> None:
+        nonlocal in_a, cur_href, cur_text
+        if cur_href:
+            out.append((cur_href, "".join(cur_text)))
+        in_a, cur_href, cur_text = False, None, []
+
+    for e in tokenize(html):
+        op = e[0]
+        if op == OPEN and e[1] == "a":
+            if in_a:
+                close_anchor()
+            in_a = True
+        elif op == ATTR and in_a and e[1] == "href" and cur_href is None:
+            v = e[2]
+            if v:
+                cur_href = (
+                    v if RE_PROTOCOL.match(v)
+                    else convert_links(v, info, resolve_paths)
+                )
+        elif op == TEXT and in_a:
+            cur_text.append(e[1])
+        elif op == CLOSE and e[1] == "a" and in_a:
+            close_anchor()
+    if in_a:
+        close_anchor()
+    return [(i, h, t) for i, (h, t) in enumerate(out)]
+
+
+def _outlink_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        o_url: list[str] = []
+        o_pos: list[int] = []
+        o_href: list[str] = []
+        o_text: list[str] = []
+        for url, html in zip(urls, htmls):
+            try:
+                links = collect_outlinks(html or b"", url)
+            except Exception:
+                links = []  # one hostile page never kills the batch
+            for pos, href, text in links:
+                o_url.append(url)
+                o_pos.append(pos)
+                o_href.append(href)
+                o_text.append(text)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_url, pa.string()),
+                pa.array(o_pos, pa.int32()),
+                pa.array(o_href, pa.string()),
+                pa.array(o_text, pa.string()),
+            ],
+            schema=_OUTLINKS_ARROW_SCHEMA,
+        )
+
+
+def extract_outlinks(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) → (url, link_pos, href, anchor_text): the
+    link-graph pass every Common-Crawl pipeline runs beside content
+    extraction. Same vectorized-map shape as ``extract_articles``:
+    column-pruned (url, html) scan, Arrow batches, zero shuffle —
+    link-graph rollups (in-degree, per-domain) aggregate downstream."""
+    return pages.select("url", "html").mapInArrow(_outlink_batches, OUTLINKS_DDL)

@@ -719,3 +719,29 @@ def test_cap_per_domain_partitioning_invariant(spark):
     for parts in (1, 7, 32):
         got = cap_per_domain(docs.repartition(parts), n=3)
         assert sorted(map(tuple, got.collect())) == expected, parts
+
+
+def test_collect_outlinks_hostile_anchors():
+    """Anchor collection must be total over malformed markup and follow
+    the reference's resolution semantics (absolute passthrough, empty
+    href dropped, implicit close on nested <a>, EOF-unclosed <a>)."""
+    from readabilitysax_spark.operators.extract import collect_outlinks
+
+    url = "http://h.example/articles/x"
+    html = (
+        '<a href="https://other.example/abs">abs</a>'
+        '<a>no href</a>'
+        '<a href="">empty</a>'
+        '<a href="/one">first<a href="/two">second</a>'
+        '<a href="rel/path">unclosed at eof'
+    )
+    links = collect_outlinks(html, url)
+    assert links == [
+        (0, "https://other.example/abs", "abs"),
+        (1, "http://h.example/one", "first"),
+        (2, "http://h.example/two", "second"),
+        (3, "http://h.example/articles/rel/path", "unclosed at eof"),
+    ]
+    assert collect_outlinks(b"", url) == []
+    assert collect_outlinks(b"\xff\xfe<a href='/x'>t</a>", url)[0][1] == \
+        "http://h.example/x"

@@ -195,3 +195,13 @@ def test_domain_cap_partial_window_group_limit(spark):
     plan = _plan(entry.queries()["domain_cap"](spark, SF_TINY))
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_outlinks_map_only_and_link_graph_partial_agg(spark):
+    """Outlink extraction is the same zero-shuffle vectorized map as
+    article extraction; the in-degree rollup aggregates with map-side
+    partial combine and no cartesian."""
+    assert "Exchange" not in _plan(entry.queries()["outlinks"](spark, SF_TINY))
+    plan = _plan(entry.queries()["link_graph"](spark, SF_TINY))
+    assert "partial" in plan
+    assert "CartesianProduct" not in plan
