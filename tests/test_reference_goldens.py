@@ -204,3 +204,40 @@ class TestPathCoveragePages:
         replay(tokenize(html), r)
         assert r._orig_title == "Heat & Mass Pipes — Dispatch Journal"
         assert r._header_title == "Heat & Mass Pipes"
+
+
+class TestTestpageOutlinks:
+    """Link extraction pinned on the reference's own 42 KB testpage:
+    29 anchors, positions/resolution/anchor-text stable byte-for-byte
+    (resolution uses _convertLinks semantics, readability-sax.ts:240-269,
+    including the href="/" -> 'http:/' quirk on the masthead link)."""
+
+    def test_testpage_outlink_pins(self):
+        import hashlib
+
+        from readabilitysax_spark.operators.extract import collect_outlinks
+
+        html = open(
+            "/root/reference/tests/testpage.html", encoding="utf-8"
+        ).read()
+        links = collect_outlinks(html, "http://howtonode.org/heat-tracer/")
+        assert len(links) == 29
+        assert links[0] == (0, "http:/", "How To NodeThe zen of coding in node.JS")
+        assert links[2] == (
+            2,
+            "http://howtonode.org/heat-tracer",
+            "Realtime Performance Visualizations using Node.js",
+        )
+        assert links[28] == (
+            28,
+            "http://howtonode.org/heat-tracer/dummy/page/2",
+            "next page",
+        )
+        # the scanner's chosen next_page must appear among the page links
+        from readabilitysax_spark.core.api import extract
+
+        art = extract(html, url="http://howtonode.org/heat-tracer/",
+                      settings={"resolvePaths": True})
+        assert any(h == art["nextPage"] for _, h, _t in links)
+        digest = hashlib.md5(repr(links).encode()).hexdigest()
+        assert digest == "915d767fa3d36f4cbb18e7a14a1e664b"
