@@ -130,7 +130,17 @@ class Element:
                     out.append(tail)
                 continue
             if type(child) is str:
-                out.append(RE_WHITESPACE.sub(" ", child))
+                # fast path: an ASCII chunk with no non-space ws and no
+                # double space is already collapsed (C-speed scans beat
+                # the regex sub, which always allocates)
+                if child.isascii() and (
+                    "\t" not in child and "\n" not in child
+                    and "\r" not in child and "\x0b" not in child
+                    and "\x0c" not in child and "  " not in child
+                ):
+                    out.append(child)
+                else:
+                    out.append(RE_WHITESPACE.sub(" ", child))
             else:
                 stack.append(iter(child.children))
                 tails.append("\n" if child.name in _NEWLINES_AFTER else None)

@@ -39,10 +39,17 @@ _BMP_MAX = "￿"
 _JS_WS_SET = frozenset(_JS_WS)
 
 
+# the ASCII subset of JS \s — str.strip(these) is exact for ASCII
+# strings and never touches \x1c-\x1f (Python-\s-only, NOT JS ws)
+_JS_WS_ASCII = " \t\n\r\x0b\x0c"
+
+
 def js_trim(s: str) -> str:
     """String.prototype.trim — trims the JS whitespace set only."""
     if not s or (s[0] not in _JS_WS_SET and s[-1] not in _JS_WS_SET):
         return s
+    if s.isascii():
+        return s.strip(_JS_WS_ASCII)
     return _RE_TRIM.sub("", s)
 
 
