@@ -403,7 +403,9 @@ def remove_duplicate_spans(
     shuffle ever happens, where a row_number window would sort the
     entire hot key on one reducer. Remaining shuffles: the span-keyed
     agg (combiner-reduced) and the doc_id-keyed reassembly. No window,
-    no pair join, no driver-side state.
+    no pair join, no driver-side state. The reassembly's collect_list
+    is bounded by a single document's span count — the same per-row
+    bound as the document itself, not a corpus-scale aggregate.
     """
     w = F.col("_w")
     n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
