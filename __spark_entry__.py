@@ -307,6 +307,11 @@ def _q_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_cross_entropy(read_documents(spark, sf_dir))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter stand-in (exact rational squash)."""
+    return textstats.quality_classifier(read_documents(spark, sf_dir))
+
+
 _VOCAB_TOP_K = 100
 _DOMAIN_CAP = 10
 
@@ -606,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "gopher_quality": _q_gopher_quality,
         "unigram_cross_entropy": _q_unigram_cross_entropy,
+        "quality_classifier": _q_quality_classifier,
         "vocab_stats": _q_vocab_stats,
         "domain_cap": _q_domain_cap,
         "extraction_eval": _q_extraction_eval,
@@ -1142,6 +1148,34 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ) WHERE rank_in_domain <= {_DOMAIN_CAP}
         ORDER BY domain, rank_in_domain
+    """
+
+    _cw = textstats.CLASSIFIER_WEIGHTS
+    q["quality_classifier"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split(text, ' ') AS w,
+                 length(text) AS n_chars
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(round(CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w), 6) AS DOUBLE) AS avg_word_len,
+                 CAST(round(CAST(length(list_filter(w, x -> list_contains({stop!r}, x))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS stopword_ratio,
+                 CAST(round(CAST(length(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS digit_ratio
+          FROM t
+        ), m AS (
+          SELECT doc_id,
+                 ({_cw["bias"]} + least(n_words, 200) / 100.0 * {_cw["n_words_per_100"]}
+                  + stopword_ratio * {_cw["stopword_ratio"]}
+                  + digit_ratio * {_cw["digit_ratio"]}
+                  + abs(avg_word_len - 5.0) * {_cw["avg_word_len_dev"]}) AS x
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(round(x / (1.0 + abs(x)), 6) AS DOUBLE) AS score,
+               round(x / (1.0 + abs(x)), 6) >= {textstats.CLASSIFIER_THRESHOLD} AS keep
+        FROM m
     """
 
     q["unigram_cross_entropy"] = """

@@ -368,3 +368,44 @@ def unigram_cross_entropy(documents: DataFrame) -> DataFrame:
             F.round(F.avg(-F.col("logp")), 6).alias("avg_neg_logp"),
         )
     )
+
+
+# fixed "trained" weights for the classifier stand-in: a linear model
+# over the quality features (the FineWeb-Edu-style model-based filter
+# slot — swap in learned weights without touching the plumbing)
+CLASSIFIER_WEIGHTS = {
+    "bias": -1.25,
+    "n_words_per_100": 0.5,   # min(n_words, 200)/100
+    "stopword_ratio": 2.0,
+    "digit_ratio": -3.0,
+    "avg_word_len_dev": -0.25,  # |avg_word_len - 5|
+}
+CLASSIFIER_THRESHOLD = 0.15
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """(doc_id, score, keep) — model-based quality filter stand-in: a
+    linear scorer over the quality features squashed with x/(1+|x|).
+
+    The squash is deliberately rational (add/mul/div/abs only — exact
+    IEEE ops), NOT a sigmoid: exp() differs in final ULPs across libm
+    implementations, while this score is bit-identical between Spark
+    and any oracle engine evaluating the same left-to-right expression.
+    Map-only; the weights are a broadcast-free literal dim (a learned
+    model's coefficients ship in the plan itself).
+    """
+    w = CLASSIFIER_WEIGHTS
+    q = quality_stats(documents)
+    x = (
+        F.lit(w["bias"])
+        + F.least(F.col("n_words"), F.lit(200)) / 100.0 * w["n_words_per_100"]
+        + F.col("stopword_ratio") * w["stopword_ratio"]
+        + F.col("digit_ratio") * w["digit_ratio"]
+        + F.abs(F.col("avg_word_len") - 5.0) * w["avg_word_len_dev"]
+    )
+    score = F.round(x / (F.lit(1.0) + F.abs(x)), 6)
+    return q.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= CLASSIFIER_THRESHOLD).alias("keep"),
+    )

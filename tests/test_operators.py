@@ -434,6 +434,7 @@ def test_all_doc_operators_survive_hostile_docs(spark):
             df.where(F.col("doc_id") % 2 == 0)),
         lambda: textstats.gopher_quality_flags(df),
         lambda: textstats.unigram_cross_entropy(df),
+        lambda: textstats.quality_classifier(df),
         lambda: corpus.vocab_stats(df, top_k=5),
         lambda: corpus.cap_per_domain(df, n=2),
         lambda: curation.filter_blocklist(
@@ -461,6 +462,7 @@ def test_empty_documents_table(spark):
     assert dedup.incremental_dedup(df, df).count() == 0
     assert textstats.gopher_quality_flags(df).count() == 0
     assert textstats.unigram_cross_entropy(df).count() == 0
+    assert textstats.quality_classifier(df).count() == 0
     assert corpus.vocab_stats(df).count() == 0
     assert corpus.cap_per_domain(
         df.withColumn("source", df.lang).withColumn(
@@ -745,3 +747,20 @@ def test_collect_outlinks_hostile_anchors():
     assert collect_outlinks(b"", url) == []
     assert collect_outlinks(b"\xff\xfe<a href='/x'>t</a>", url)[0][1] == \
         "http://h.example/x"
+
+
+def test_quality_classifier_orders_quality(spark):
+    """Stopword-rich prose must outscore digit soup, and the squash
+    keeps every score strictly inside (-1, 1)."""
+    from readabilitysax_spark.operators import textstats
+
+    rows = [
+        (0, " ".join(["the", "and", "of", "word"] * 30)),  # good prose
+        (1, " ".join(["1234", "5678"] * 60)),              # digit soup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.quality_classifier(df).collect()}
+    assert out[0]["score"] > out[1]["score"]
+    assert out[0]["keep"] and not out[1]["keep"]
+    assert all(-1.0 < r["score"] < 1.0 for r in out.values())

@@ -205,3 +205,8 @@ def test_outlinks_map_only_and_link_graph_partial_agg(spark):
     plan = _plan(entry.queries()["link_graph"](spark, SF_TINY))
     assert "partial" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_map_only(spark):
+    plan = _plan(entry.queries()["quality_classifier"](spark, SF_TINY))
+    assert "Exchange" not in plan
