@@ -312,6 +312,34 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_classifier(read_documents(spark, sf_dir))
 
 
+_EVAL_SAMPLE_K = 25
+
+
+def _q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-stratum holdout sample (deterministic md5 ranking,
+    stable under corpus growth)."""
+    return corpus.sample_exact_k(
+        read_documents(spark, sf_dir), k=_EVAL_SAMPLE_K
+    ).orderBy("lang", "sample_rank")
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-hash canonicalization pass (lowercase / control strip /
+    whitespace collapse / trim)."""
+    docs = read_documents(spark, sf_dir)
+    # synthetic text is already lowercase single-spaced — inject mess
+    # deterministically so the operator has real work to undo
+    messy = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("  \t"), F.upper(F.substring("text", 1, 8)),
+            F.substring("text", 9, 1 << 30),
+            F.lit("\x07\r\n the  end "),
+        ),
+    )
+    return textstats.normalize_text(messy)
+
+
 _VOCAB_TOP_K = 100
 _DOMAIN_CAP = 10
 
@@ -612,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "unigram_cross_entropy": _q_unigram_cross_entropy,
         "quality_classifier": _q_quality_classifier,
+        "sample_per_lang": _q_sample_per_lang,
+        "normalize_text": _q_normalize_text,
         "vocab_stats": _q_vocab_stats,
         "domain_cap": _q_domain_cap,
         "extraction_eval": _q_extraction_eval,
@@ -1148,6 +1178,38 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ) WHERE rank_in_domain <= {_DOMAIN_CAP}
         ORDER BY domain, rank_in_domain
+    """
+
+    q["sample_per_lang"] = f"""
+        SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+        FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 16),
+                            doc_id
+                 ) AS sample_rank
+          FROM documents
+        ) WHERE sample_rank <= {_EVAL_SAMPLE_K}
+        ORDER BY lang, sample_rank
+    """
+
+    q["normalize_text"] = """
+        WITH m AS (
+          SELECT doc_id,
+                 '  ' || chr(9) || upper(substring(text, 1, 8))
+                      || substring(text, 9)
+                      || chr(7) || chr(13) || chr(10) || ' the  end ' AS text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(regexp_replace(lower(text),
+                   '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                   '[ \\t\\n\\r\\x0b\\x0c]+', ' ', 'g'),
+                   '^ | $', '', 'g') AS norm_text
+          FROM m
+        )
+        SELECT doc_id, norm_text, norm_text <> text AS changed FROM s
     """
 
     _cw = textstats.CLASSIFIER_WEIGHTS

@@ -265,3 +265,28 @@ def cap_per_domain(
         .withColumn("rank_in_domain", F.row_number().over(w))
         .where(F.col("rank_in_domain") <= n)
     )
+
+
+def sample_exact_k(
+    documents: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample (eval/holdout-set
+    construction wants "exactly 1000 per language", not a keep-rate):
+    rank docs inside each stratum by md5 of the id and keep the k
+    smallest hashes. Reproducible across runs/engines/partitionings,
+    and adding documents to a stratum only evicts the largest-hash
+    members — the sample is stable under corpus growth.
+
+    Same skew story as ``cap_per_domain``: the row_number window gets
+    Catalyst's WindowGroupLimit map-side partial top-k, so a dominant
+    stratum never funnels its full row set to one reducer."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 16)
+    w = Window.partitionBy(stratum_col).orderBy(h, id_col)
+    return (
+        documents.select(id_col, stratum_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

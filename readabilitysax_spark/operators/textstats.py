@@ -409,3 +409,22 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
         score.alias("score"),
         (score >= CLASSIFIER_THRESHOLD).alias("keep"),
     )
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """(doc_id, norm_text, changed) — the canonicalization pass a
+    pipeline runs before hashing/dedup: lowercase, strip ASCII control
+    characters, collapse whitespace runs to single spaces, trim.
+    Map-only, pure JVM regexp (the regexes are Java∩RE2 so the oracle
+    replicates them span-for-span); Unicode NFC is deliberately out of
+    scope here (no engine-portable primitive — it would be a Pandas-UDF
+    stage if an input corpus needed it)."""
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ \\t\\n\\r\\x0b\\x0c]+", " ")
+    t = F.regexp_replace(t, "^ | $", "")
+    return documents.select(
+        "doc_id",
+        t.alias("norm_text"),
+        (t != F.col("text")).alias("changed"),
+    )

@@ -437,6 +437,8 @@ def test_all_doc_operators_survive_hostile_docs(spark):
         lambda: textstats.quality_classifier(df),
         lambda: corpus.vocab_stats(df, top_k=5),
         lambda: corpus.cap_per_domain(df, n=2),
+        lambda: corpus.sample_exact_k(df, k=2),
+        lambda: textstats.normalize_text(df),
         lambda: curation.filter_blocklist(
             df.selectExpr("concat('http://', source, '.example/d/', doc_id) AS url"),
             df.sparkSession.createDataFrame([("src1.example",)], "domain string")),
@@ -463,6 +465,8 @@ def test_empty_documents_table(spark):
     assert textstats.gopher_quality_flags(df).count() == 0
     assert textstats.unigram_cross_entropy(df).count() == 0
     assert textstats.quality_classifier(df).count() == 0
+    assert textstats.normalize_text(df).count() == 0
+    assert corpus.sample_exact_k(df, k=3).count() == 0
     assert corpus.vocab_stats(df).count() == 0
     assert corpus.cap_per_domain(
         df.withColumn("source", df.lang).withColumn(
@@ -764,3 +768,43 @@ def test_quality_classifier_orders_quality(spark):
     assert out[0]["score"] > out[1]["score"]
     assert out[0]["keep"] and not out[1]["keep"]
     assert all(-1.0 < r["score"] < 1.0 for r in out.values())
+
+
+def test_sample_exact_k_counts_and_growth_stability(spark):
+    """Exactly min(k, stratum size) rows per stratum, and growing the
+    corpus can only EVICT members (a doc sampled in the larger corpus
+    is always sampled in the smaller one — rank improves when rows
+    are removed, never degrades)."""
+    from readabilitysax_spark.operators.corpus import sample_exact_k
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    small = docs.where(F.col("doc_id") < 300)
+    k = 10
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in small.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    samp_small = sample_exact_k(small, k=k).collect()
+    from collections import Counter
+    counts = Counter(r["lang"] for r in samp_small)
+    for lang, n in by_lang.items():
+        assert counts[lang] == min(k, n), lang
+    samp_big = sample_exact_k(docs, k=k).collect()
+    small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    in_big_and_small = {r["doc_id"] for r in samp_big} & small_ids
+    in_small_sample = {r["doc_id"] for r in samp_small}
+    assert in_big_and_small <= in_small_sample
+
+
+def test_normalize_text_rules(spark):
+    from readabilitysax_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  MiXeD\tCase\x07\x00 with\r\n  runs  "),
+         (2, "already clean")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["norm_text"] == "mixed case with runs"
+    assert out[1]["changed"]
+    assert out[2]["norm_text"] == "already clean"
+    assert not out[2]["changed"]

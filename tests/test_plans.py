@@ -210,3 +210,14 @@ def test_outlinks_map_only_and_link_graph_partial_agg(spark):
 def test_quality_classifier_is_map_only(spark):
     plan = _plan(entry.queries()["quality_classifier"](spark, SF_TINY))
     assert "Exchange" not in plan
+
+
+def test_sample_per_lang_partial_window_group_limit(spark):
+    plan = _plan(entry.queries()["sample_per_lang"](spark, SF_TINY))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_normalize_text_is_map_only(spark):
+    plan = _plan(entry.queries()["normalize_text"](spark, SF_TINY))
+    assert "Exchange" not in plan
