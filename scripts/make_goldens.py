@@ -87,6 +87,33 @@ PAGES = {
         "settings": {"resolvePaths": True},
         "anchor": {"skipLevel": 0},
     },
+    # S14 branch sweep on organic-style markup: li-count rule (101-li
+    # tag cloud inside a div), short-content rule ("Ad." div), density
+    # rule (link-farm "related" div) — plus S15 remove-if-empty on a
+    # span-only <td> while a <video>-only cell survives via okayIfEmpty
+    "tablepage": {
+        "path": os.path.join(ROOT, "tests/fixtures/tablepage.html"),
+        "url": "http://dispatch.example/table/log-3/",
+        "settings": {"resolvePaths": True},
+        "anchor": {
+            "skipLevel": 0,
+            "nextPage": "http://dispatch.example/table/log-3/page/2",
+        },
+    },
+    # S12/S14 embed rules: whitelisted embed with <75 chars of caption
+    # drops its wrapper (embed_count==1 & short), a long-caption clip
+    # survives with its youtube embed while a non-whitelisted ads embed
+    # inside the SAME div is dropped (and doesn't count), and two
+    # whitelisted embeds drop the wrapper regardless of text length
+    "embedpage": {
+        "path": os.path.join(ROOT, "tests/fixtures/embedpage.html"),
+        "url": "http://dispatch.example/embed/clips-5/",
+        "settings": {"resolvePaths": True},
+        "anchor": {
+            "skipLevel": 0,
+            "nextPage": "http://dispatch.example/embed/clips-5/page/2",
+        },
+    },
     # S10 unpack chains: div>div>div wrappers unpack; loose div text
     # becomes a scored <p>
     "nestedpage": {

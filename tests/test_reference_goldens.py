@@ -206,6 +206,50 @@ class TestPathCoveragePages:
         assert r._header_title == "Heat & Mass Pipes"
 
 
+class TestTablepageCleanerBranches:
+    """S14/S15 branch sweep (tablepage fixture): the three conditional-
+    cleaner drop rules previously unexercised by goldens, plus the
+    remove-if-empty/okayIfEmpty pair on table cells."""
+
+    def test_li_count_rule_drops_tag_cloud(self):
+        text = _read("tablepage.text.txt")
+        assert "tag one" not in text and "t101" not in text
+
+    def test_short_content_rule_drops_ad_div(self):
+        assert "Ad." not in _read("tablepage.text.txt")
+
+    def test_density_rule_drops_link_farm(self):
+        text = _read("tablepage.text.txt")
+        assert "Sponsored" not in text
+        assert "insulation clearance" not in text
+
+    def test_table_cells_remove_if_empty_vs_okay_if_empty(self):
+        html_out = _read("tablepage.html.txt")
+        assert "flow 4.2" in html_out           # data table survives
+        assert "<video" in html_out             # video-only cell kept
+        assert "<span></span>" not in html_out  # span-only cell removed
+        meta = json.loads(_read("tablepage.meta.json"))
+        assert meta["nextPage"].endswith("/table/log-3/page/2")
+
+
+class TestEmbedpageEmbedRules:
+    """S12/S14 embed rules (embedpage fixture)."""
+
+    def test_single_short_embed_wrapper_dropped(self):
+        assert "Short caption" not in _read("embedpage.text.txt")
+
+    def test_long_caption_keeps_whitelisted_embed_only(self):
+        html_out = _read("embedpage.html.txt")
+        assert "long take" in html_out
+        assert "youtube.com/v/clip2" in html_out   # whitelisted, kept
+        assert "ads.example" not in html_out       # non-whitelisted, dropped
+        # the dropped ads embed must NOT count toward embed_count
+        # (wrapper survives with exactly one counted embed)
+
+    def test_two_embeds_drop_wrapper_despite_long_text(self):
+        assert "archived here" not in _read("embedpage.text.txt")
+
+
 class TestTestpageOutlinks:
     """Link extraction pinned on the reference's own 42 KB testpage:
     29 anchors, positions/resolution/anchor-text stable byte-for-byte
