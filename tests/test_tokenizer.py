@@ -266,3 +266,25 @@ def test_self_closing_only_in_foreign_context():
     assert tokenize("<svg><rect/></svg>z") == [
         (OPEN, "svg"), (OPEN, "rect"), (CLOSE, "rect"),
         (CLOSE, "svg"), (TEXT, "z")]
+
+
+def test_exotic_markup_conformance():
+    """htmlparser2-default treatment of declarations, PIs, bogus
+    comments, CDATA (comment-ish when recognizeCDATA is off), stray
+    '<', and unclosed comments — none may crash, none may leak
+    declaration bytes as text."""
+    from readabilitysax_spark.core.tokenizer import tokenize
+
+    OPEN, ATTR, TEXT, CLOSE = 0, 1, 2, 3
+    p_t = [(OPEN, "p"), (TEXT, "t"), (CLOSE, "p")]
+    assert tokenize('<svg><![CDATA[x < y]]></svg>') == [(OPEN, "svg"), (CLOSE, "svg")]
+    assert tokenize('<! bogus ><p>t</p>') == p_t
+    assert tokenize('<!><p>t</p>') == p_t
+    assert tokenize('<?php echo "x"; ?><p>t</p>') == p_t
+    assert tokenize('</><p>t</p>') == p_t
+    assert tokenize('<!- not a comment -><p>t</p>') == p_t
+    assert tokenize('<!--[if IE]><p>ie</p><![endif]--><p>t</p>') == p_t
+    assert tokenize('<!-- never closed <p>t</p>') == []
+    assert tokenize('a\x00b<p>t</p>') == [(TEXT, "a\x00b")] + p_t
+    assert tokenize('<p>t</p><') == p_t + [(TEXT, "<")]
+    assert tokenize('a < b<p>t</p>') == [(TEXT, "a "), (TEXT, "< b")] + p_t
