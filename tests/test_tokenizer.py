@@ -288,3 +288,21 @@ def test_exotic_markup_conformance():
     assert tokenize('a\x00b<p>t</p>') == [(TEXT, "a\x00b")] + p_t
     assert tokenize('<p>t</p><') == p_t + [(TEXT, "<")]
     assert tokenize('a < b<p>t</p>') == [(TEXT, "a "), (TEXT, "< b")] + p_t
+
+
+def test_entity_edge_conformance():
+    """WHATWG numeric-reference edge cases (lone surrogate, beyond
+    U+10FFFF, NUL, absurd magnitude → U+FFFD), legacy no-semicolon
+    decoding in text mode, longest-match on the named table, and the
+    prefix-overlap family."""
+    from readabilitysax_spark.core.tokenizer import tokenize
+
+    def text(html):
+        return "".join(e[1] for e in tokenize(html))
+
+    for ref in ("&#xD800;", "&#x110000;", "&#0;", "&#xFFFFFFFFFF;"):
+        assert text(f"a{ref}b") == "a�b", ref
+    assert text("a&ampb") == "a&b"            # legacy, text mode
+    assert text("a&amp=b") == "a&=b"          # '=' guard is attr-only
+    assert text("a&CounterClockwiseContourIntegral;b") == "a∳b"
+    assert text("a&notin;b &notit;") == "a∉b \xacit;"
