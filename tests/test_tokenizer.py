@@ -306,3 +306,19 @@ def test_entity_edge_conformance():
     assert text("a&amp=b") == "a&=b"          # '=' guard is attr-only
     assert text("a&CounterClockwiseContourIntegral;b") == "a∳b"
     assert text("a&notin;b &notit;") == "a∉b \xacit;"
+
+
+def test_attribute_entity_guard_conformance():
+    """Attribute mode inverts the legacy rule: a no-semicolon entity
+    followed by [0-9a-zA-Z=] must NOT decode (WHATWG attr guard —
+    protects querystring '&amp=' / '&ampb=' params), while the
+    semicolon form always decodes."""
+    from readabilitysax_spark.core.tokenizer import tokenize
+
+    def attr(html):
+        return next(e[2] for e in tokenize(html) if e[0] == 1)
+
+    assert attr('<a href="/x?a&ampb=1">t</a>') == "/x?a&ampb=1"
+    assert attr('<a href="/x?a&amp=1">t</a>') == "/x?a&amp=1"
+    assert attr('<a href="/x?a&amp;b=1">t</a>') == "/x?a&b=1"
+    assert attr('<a title="&notit;">t</a>') == "&notit;"
