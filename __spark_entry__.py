@@ -923,7 +923,9 @@ def oracle_sql() -> dict[str, str]:
 
     q["dedup_spans"] = f"""
         WITH w AS (
+          -- empty text ⇒ no spans (string_split('') is [''], a phantom span)
           SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE length(text) > 0
         ), spl AS (
           SELECT doc_id, unnest(
             [{{'pos': i, 'span': array_to_string(
@@ -943,7 +945,9 @@ def oracle_sql() -> dict[str, str]:
           FROM k WHERE rn = 1 GROUP BY doc_id
         ), tot AS (
           SELECT doc_id,
-                 CAST(ceil(len(string_split(text, ' ')) / {_SPAN_WORDS}.0) AS INT) AS n_spans
+                 CAST(CASE WHEN length(text) > 0
+                           THEN ceil(len(string_split(text, ' ')) / {_SPAN_WORDS}.0)
+                           ELSE 0 END AS INT) AS n_spans
           FROM documents
         )
         SELECT t.doc_id AS doc_id,
@@ -1144,7 +1148,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(len(w) AS BIGINT) AS n_words,
                  CAST(round((lc - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
                       AS DOUBLE) AS mean_word_len,
-                 CAST(round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                 CAST(round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
                       / CAST(len(w) AS DOUBLE), 6) AS DOUBLE) AS alpha_ratio,
                  CAST(length(list_intersect(list_distinct(w), {_stop_list}))
                       AS INT) AS n_stop_distinct

@@ -119,23 +119,41 @@ def decontaminate(
     )
 
 
+def url_host(url_col: str = "url"):
+    """Normalized host of a URL, for safety filters: case-insensitive
+    scheme match, host stops at ``/``, ``?`` or ``#`` (same character
+    class as ``corpus.canonicalize_url``), lowercased, userinfo
+    (``user@``) and ANY ``:port`` stripped, leading ``www.`` dropped.
+
+    A blocklist must normalize at least as aggressively as the
+    canonicalizer: ``HTTP://EVIL.com``, ``http://evil.com?x``,
+    ``http://evil.com:8080/`` and ``http://u@evil.com/`` all reduce to
+    ``evil.com`` here (ports are dropped unconditionally — for a
+    fail-closed filter an alternate port is still the blocked host,
+    unlike dedup canonicalization where origin identity matters)."""
+    raw = F.lower(F.regexp_extract(F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(raw, "^[^@]*@", "")
+    host = F.regexp_replace(host, ":[0-9]*$", "")
+    return F.regexp_replace(host, "^www\\.", "")
+
+
 def filter_blocklist(
     pages: DataFrame,
     blocked_domains: DataFrame,
     url_col: str = "url",
 ) -> DataFrame:
-    """Drop pages whose (www.-normalized) domain is on a blocklist —
+    """Drop pages whose (normalized) domain is on a blocklist —
     broadcast anti-join, the fact table never shuffles. ``blocked_domains``
-    is a one-column ``domain`` DataFrame (curation lists are tiny)."""
-    domain = F.regexp_replace(
-        F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1), "^www\\.", ""
-    ).alias("_domain")
+    is a one-column ``domain`` DataFrame (curation lists are tiny).
+    Hosts are normalized by :func:`url_host`; blocklist entries are
+    lowercased and www.-stripped the same way so the join key matches
+    regardless of how the list was written."""
+    domain = url_host(url_col).alias("_domain")
+    blocked = blocked_domains.select(
+        F.regexp_replace(F.lower("domain"), "^www\\.", "").alias("_domain")
+    )
     return (
         pages.withColumn("_domain", domain)
-        .join(
-            F.broadcast(blocked_domains.select(F.col("domain").alias("_domain"))),
-            "_domain",
-            "left_anti",
-        )
+        .join(F.broadcast(blocked), "_domain", "left_anti")
         .drop("_domain")
     )

@@ -419,8 +419,12 @@ def remove_duplicate_spans(
         ),
     )
     # the split word array gets its own projection (shingle_table's
-    # hot-loop staging: inlining split inside the lambda is O(words²))
-    staged = documents.select(
+    # hot-loop staging: inlining split inside the lambda is O(words²)).
+    # Empty text is filtered BEFORE splitting: split('', ' ') is ['']
+    # (one phantom '' span) — without the guard every empty doc would
+    # contend corpus-wide for the '' span and skew the audit counts
+    # (round-3 ADVICE); an empty doc has n_spans = 0.
+    staged = documents.where(F.length(F.col(text_col)) > 0).select(
         id_col, F.split(F.col(text_col), " ").alias("_w")
     ).select(id_col, F.explode(span_structs).alias("s"))
     spans = staged.select(id_col, F.col("s.pos").alias("pos"), F.col("s.span").alias("span"))
@@ -450,9 +454,10 @@ def remove_duplicate_spans(
     )
     totals = documents.select(
         id_col,
-        F.ceil(
-            F.size(F.split(F.col(text_col), " ")) / F.lit(span_words)
-        ).cast("int").alias("n_spans"),
+        F.when(
+            F.length(F.col(text_col)) > 0,
+            F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(span_words)),
+        ).otherwise(F.lit(0)).cast("int").alias("n_spans"),
     )
     return (
         totals.join(kept, id_col, "left")

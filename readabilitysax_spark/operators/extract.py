@@ -233,7 +233,19 @@ def collect_outlinks(
     empty-href anchors are dropped (the reference skips empty
     attribute values). A new <a> while one is open implicitly closes
     the previous (browser behavior; HTML forbids nesting).
+
+    Attribute SCOPING also mirrors the reference: onattribute applies
+    to ``_currentElement`` (readability-sax.ts:369-373), and noContent
+    tags never become ``_currentElement`` (:360-366), so an href on a
+    span/b/font INSIDE the anchor is attributed to the anchor itself,
+    while an href on a structural descendant (``<a><div href=u>``)
+    belongs to the div, NOT the anchor (round-3 ADVICE). We track the
+    open-descendant depth: OPEN of a non-noContent tag enters a
+    descendant, its CLOSE leaves it (the reference pops one level per
+    non-noContent close regardless of name, :427-432), and href is
+    captured only at depth 0.
     """
+    from ..core.readability import NO_CONTENT
     from ..core.tokenizer import ATTR, CLOSE, OPEN, TEXT, tokenize
     from ..core.urls import RE_PROTOCOL, convert_links, parse_page_url
 
@@ -242,14 +254,15 @@ def collect_outlinks(
     info = parse_page_url(url) if url else None
     out: list[tuple[str, str]] = []
     in_a = False
+    depth = 0  # open non-noContent descendants of the current <a>
     cur_href: str | None = None
     cur_text: list[str] = []
 
     def close_anchor() -> None:
-        nonlocal in_a, cur_href, cur_text
+        nonlocal in_a, depth, cur_href, cur_text
         if cur_href:
             out.append((cur_href, "".join(cur_text)))
-        in_a, cur_href, cur_text = False, None, []
+        in_a, depth, cur_href, cur_text = False, 0, None, []
 
     for e in tokenize(html):
         op = e[0]
@@ -257,7 +270,12 @@ def collect_outlinks(
             if in_a:
                 close_anchor()
             in_a = True
-        elif op == ATTR and in_a and e[1] == "href" and cur_href is None:
+        elif op == OPEN and in_a and e[1] not in NO_CONTENT:
+            depth += 1
+        elif op == ATTR and in_a and depth == 0 and e[1] == "href":
+            # last-wins, like the reference: duplicate attributes each
+            # fire (no onopentag registered → Parser dedup inactive)
+            # and ``element.attributes[name] = value`` overwrites
             v = e[2]
             if v:
                 cur_href = (
@@ -266,8 +284,11 @@ def collect_outlinks(
                 )
         elif op == TEXT and in_a:
             cur_text.append(e[1])
-        elif op == CLOSE and e[1] == "a" and in_a:
-            close_anchor()
+        elif op == CLOSE and in_a and e[1] not in NO_CONTENT:
+            if depth > 0:
+                depth -= 1
+            elif e[1] == "a":
+                close_anchor()
     if in_a:
         close_anchor()
     return [(i, h, t) for i, (h, t) in enumerate(out)]

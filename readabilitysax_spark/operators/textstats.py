@@ -311,8 +311,12 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
     mean_word_len = F.round(
         (F.length("text") - (n_words - 1)) / n_words, 6
     )
+    # Gopher's rule is "contains at least one ALPHABETIC character" —
+    # [A-Za-z], not [a-z]: uppercase-only words (NASA, I, acronyms)
+    # are alphabetic and must not push real mixed-case text under the
+    # 0.80 gate (round-3 ADVICE).
     alpha_ratio = F.round(
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words, 6
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))

@@ -82,3 +82,38 @@ def test_filter_blocklist(spark):
     assert kept == ["http://ok.example/c", "http://sub.spam.example/d"]
     plan = _plan(filter_blocklist(pages, blocked))
     assert "BroadcastHashJoin" in plan
+
+
+def test_filter_blocklist_hostile_url_shapes(spark):
+    """A safety filter must normalize at least as aggressively as the
+    canonicalizer: scheme case, query/fragment delimiting the host,
+    userinfo, ports, and host case must all still hit the blocklist."""
+    pages = spark.createDataFrame(
+        [
+            ("HTTP://evil.example/a", "en"),        # uppercase scheme
+            ("http://EVIL.example/b", "en"),        # uppercase host
+            ("http://evil.example?x=1", "en"),      # host ends at '?'
+            ("http://evil.example#frag", "en"),     # host ends at '#'
+            ("http://evil.example:80/c", "en"),     # default port
+            ("http://evil.example:8080/d", "en"),   # alternate port
+            ("http://u:p@evil.example/e", "en"),    # userinfo
+            ("https://www.evil.example/f", "en"),   # www + https
+            ("http://ok.example/g", "en"),
+        ],
+        "url string, lang string",
+    )
+    blocked = spark.createDataFrame([("evil.example",)], "domain string")
+    kept = [r.url for r in filter_blocklist(pages, blocked).collect()]
+    assert kept == ["http://ok.example/g"]
+
+
+def test_filter_blocklist_normalizes_list_entries(spark):
+    pages = spark.createDataFrame(
+        [("http://bad.example/x", "en"), ("http://ok.example/y", "en")],
+        "url string, lang string",
+    )
+    blocked = spark.createDataFrame(
+        [("WWW.Bad.Example",)], "domain string"
+    )  # sloppy list entry: case + www.
+    kept = [r.url for r in filter_blocklist(pages, blocked).collect()]
+    assert kept == ["http://ok.example/y"]

@@ -808,3 +808,72 @@ def test_normalize_text_rules(spark):
     assert out[1]["changed"]
     assert out[2]["norm_text"] == "already clean"
     assert not out[2]["changed"]
+
+
+def test_collect_outlinks_attribute_scoping():
+    """href scoping mirrors the reference's _currentElement semantics
+    (readability-sax.ts:360-373): noContent descendants (span/b/font)
+    never become the current element, so their href lands ON the
+    anchor (last-wins overwrite); structural descendants (div) own
+    their attributes, so their href is NOT the anchor's."""
+    from readabilitysax_spark.operators.extract import collect_outlinks
+
+    url = "http://h.example/p"
+    # div descendant carrying href: belongs to the div, anchor keeps none
+    assert collect_outlinks('<a><div href="/u">t</div></a>', url) == []
+    # div descendant must not clobber the anchor's own href either
+    assert collect_outlinks(
+        '<a href="/mine"><div href="/theirs">t</div>x</a>', url
+    ) == [(0, "http://h.example/mine", "tx")]
+    # noContent descendant (span): its href applies to the anchor,
+    # overwriting (the reference assigns attributes[name] = value)
+    assert collect_outlinks(
+        '<a href="/first"><span href="/second">t</span></a>', url
+    ) == [(0, "http://h.example/second", "t")]
+    # duplicate attrs on the <a> itself each fire -> last wins
+    assert collect_outlinks('<a href="/x" href="/y">t</a>', url) == [
+        (0, "http://h.example/y", "t")
+    ]
+    # empty value never assigns (reference: `if (!value) return`)
+    assert collect_outlinks('<a href="/x" href="">t</a>', url) == [
+        (0, "http://h.example/x", "t")
+    ]
+    # depth restored after the descendant closes: a LATER noContent
+    # href still reaches the anchor
+    assert collect_outlinks(
+        '<a><div>d</div><span href="/late">s</span></a>', url
+    ) == [(0, "http://h.example/late", "ds")]
+
+
+def test_gopher_alpha_counts_uppercase_words(spark):
+    """Gopher's alpha rule is 'contains at least one ALPHABETIC char':
+    NASA / I / acronyms count; an all-caps doc must not fail ok_alpha."""
+    from readabilitysax_spark.operators import textstats
+
+    rows = [
+        (0, " ".join(["NASA", "I", "THE"] * 25 + ["the", "and"])),
+        (1, " ".join(["1234"] * 77 + ["the", "and"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.gopher_quality_flags(df).collect()}
+    assert out[0]["alpha_ratio"] == 1.0 and out[0]["ok_alpha"]
+    assert not out[1]["ok_alpha"]
+
+
+def test_remove_duplicate_spans_empty_text(spark):
+    """Empty/whitespace-free-empty docs have n_spans = 0 and never
+    contend for the '' span (split('') is [''] without the guard)."""
+    from readabilitysax_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, span_words=3).collect()}
+    for i in (0, 1):
+        assert out[i]["n_spans"] == 0
+        assert out[i]["n_kept"] == 0
+        assert out[i]["n_removed"] == 0
+        assert out[i]["clean_text"] == ""
+    assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 1
