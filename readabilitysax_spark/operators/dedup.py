@@ -591,6 +591,45 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return per_doc.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
+def simhash_multi(
+    documents: DataFrame, widths: tuple[int, ...] = (16, 64)
+) -> DataFrame:
+    """Simhash fingerprints at several widths in ONE pass/shuffle:
+    (doc_id, simhash16, simhash64, ...).
+
+    Bit position b is the same nibble test at every width (hex char
+    b//4+1 of md5(word)), only the weights differ — so the per-doc
+    vote sums are aggregated once for max(widths) positions and each
+    width's fingerprint is a free post-aggregation projection. One
+    groupBy(doc_id) with map-side partial aggregation, exactly the
+    cost of the widest single-width call.
+    """
+    max_bits = max(widths)
+    words = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).withColumn("h", F.md5("word"))
+    aggs = []
+    for b in range(max_bits):
+        hx = b // 4 + 1
+        power = 2 ** (3 - b % 4)
+        nib = F.expr(f"instr('0123456789abcdef', substring(h, {hx}, 1)) - 1")
+        bit = F.when((nib % (power * 2)) >= power, 1).otherwise(-1)
+        aggs.append(F.sum(bit).alias(f"s{b}"))
+    per_doc = words.groupBy("doc_id").agg(*aggs)
+    outs = []
+    for bits in widths:
+        total = None
+        for b in range(bits):
+            weight = -(2 ** 63) if (bits == 64 and b == 0) else 2 ** (bits - 1 - b)
+            term = (
+                F.when(F.col(f"s{b}") > 0, F.lit(weight).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            )
+            total = term if total is None else total + term
+        outs.append(total.cast("bigint").alias(f"simhash{bits}"))
+    return per_doc.select("doc_id", *outs)
+
+
 def simhash_near_dup_pairs(
     documents: DataFrame,
     bits: int = 64,

@@ -118,20 +118,26 @@ def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
 
 def corpus_profile(documents: DataFrame, size_col: str = "n_chars") -> DataFrame:
     """Distribution profile per language: (lang, n_docs, n_sources,
-    median_chars, p90_chars) — the length-distribution rollup behind
-    curation thresholds (Gopher/FineWeb pick their length cutoffs from
-    exactly these quantiles).
+    total_chars, avg_chars, total_words, median_chars, p90_chars) —
+    the corpus rollup + length-distribution behind curation thresholds
+    (Gopher/FineWeb pick their length cutoffs from exactly these
+    quantiles). Sums/averages and quantiles share ONE groupBy — the
+    same single-shuffle rollup a 100 TB profiling pass runs nightly.
 
     Uses EXACT ``percentile`` so the DuckDB oracle (``quantile_cont``,
     identical linear interpolation — verified value-equal) can check
     it; at 10^12 rows swap in ``approx_percentile(col, q, accuracy)``
     — same plan shape, sketch-based partial aggregation instead of a
     per-group sort, identical column contract."""
+    words = F.split("text", " ")
     return (
         documents.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+            F.sum(F.size(words)).cast("bigint").alias("total_words"),
             F.round(F.percentile(size_col, 0.5), 6).alias("median_chars"),
             F.round(F.percentile(size_col, 0.9), 6).alias("p90_chars"),
         )
