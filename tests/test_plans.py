@@ -221,3 +221,36 @@ def test_sample_per_lang_partial_window_group_limit(spark):
 def test_normalize_text_is_map_only(spark):
     plan = _plan(entry.queries()["normalize_text"](spark, SF_TINY))
     assert "Exchange" not in plan
+
+
+def test_simhash_multi_single_exchange(spark):
+    """Both fingerprint widths (16 + 64) must come from ONE word-explode
+    and ONE doc_id-keyed shuffle with map-side partial sums — merging
+    the widths must not double the aggregation cost."""
+    plan = _plan(entry.queries()["dedup_simhash"](spark, SF_TINY))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_sum" in plan
+
+
+def test_corpus_profile_single_exchange(spark):
+    """Counts, totals and exact percentiles share one lang-keyed
+    shuffle (the merged rollup must not re-scan per stat family)."""
+    plan = _plan(entry.queries()["corpus_profile"](spark, SF_TINY))
+    # exactly the two-stage exact-count-distinct shape: a (lang,source)
+    # partial agg + exchange, then the lang agg + exchange — every stat
+    # family (counts, sums, percentiles) rides those same two, all with
+    # map-side partials; no per-family extra scan or shuffle
+    aggx = [ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln]
+    assert len(aggx) == 2, plan
+    assert "partial_percentile" in plan and "partial_sum" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_ivf_recall_no_query_time_assign(spark):
+    """The recall panel must reuse the prebuilt index: no array_max
+    centroid-assignment expression anywhere in the plan (that's the
+    build's job), and no cartesian product."""
+    plan = _plan(entry.queries()["similarity_ivf_recall"](spark, SF_TINY))
+    assert "array_max" not in plan, plan
+    assert "CartesianProduct" not in plan
