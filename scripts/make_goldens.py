@@ -140,6 +140,24 @@ PAGES = {
         "settings": {},
         "anchor": {"skipLevel": 2},
     },
+    # S21×S3×Q1 interaction page: the full _scanLink branch sweep on an
+    # organic paginator (numbered links ±(10-n), next +50, previous
+    # -200, final 'last' -65, pages-classed ancestor +25, footer
+    # (negative) ancestor -25, base-url / offsite-domain / >25-char-text
+    # skips), img width=400/250 parent attribute bonuses (+20/+5) inside
+    # the winning candidate, and the Q1 noContent leak: a harmless div
+    # is stripped as unlikely because its <span class="sidebar related">
+    # child's attributes score the PARENT (spans push no node)
+    "paginatorpage": {
+        "path": os.path.join(ROOT, "tests/fixtures/paginatorpage.html"),
+        "url": "http://dispatch.example/series/heat-4/",
+        "settings": {"resolvePaths": True},
+        "anchor": {
+            "skipLevel": 0,
+            "nextPage": "http://dispatch.example/series/heat-4/page/2",
+            "score": 100,
+        },
+    },
     # S5/S6 + RCDATA: entities decoded inside <title>; the 4-word <h1>
     # substring of the decoded title becomes the header title
     "rcdatapage": {

@@ -285,3 +285,83 @@ class TestTestpageOutlinks:
         assert any(h == art["nextPage"] for _, h, _t in links)
         digest = hashlib.md5(repr(links).encode()).hexdigest()
         assert digest == "915d767fa3d36f4cbb18e7a14a1e664b"
+
+
+class TestPaginatorPage:
+    """S21×S3×Q1 interaction pins (round-4 coverage page)."""
+
+    def _readable(self):
+        spec = PAGES["paginatorpage"]
+        html = open(spec["path"], encoding="utf-8").read()
+        r = Readability({"pageURL": spec["url"], "resolvePaths": True})
+        replay(tokenize(html), r)
+        r.get_article()
+        return r
+
+    def test_scan_link_branch_sweep(self):
+        """Every _scanLink branch on one organic paginator
+        (readability-sax.ts:168-238): numbered links score 10-n with
+        pages-href +25 and pages-classed ancestor +25; 'next' merges
+        +50 onto the shared href; 'previous' -200; final-word 'last'
+        -65; the footer (negative) ancestor -25; the base-url link,
+        the offsite-domain link and the >25-char-text link are never
+        scanned at all."""
+        links = self._readable()._scanned_links
+        by_href = {h.rsplit("/", 2)[-2] + "/" + h.rsplit("/", 2)[-1]: v
+                   for h, v in links.items()}
+        # '2' (+8+25+25) merged with 'next »' (+50+25+25): one entry
+        assert links["http://dispatch.example/series/heat-4/page/2"][0] == 158
+        assert links["http://dispatch.example/series/heat-4/page/3"][0] == 57
+        # previous: -200 +25(href) +25(ancestor) = -150
+        assert links["http://dispatch.example/series/heat-3/page/9"][0] == -150
+        # 'last': -65(final) +25(href) +25(ancestor) = -15
+        assert links["http://dispatch.example/series/heat-4/page/9"][0] == -15
+        # footer child '4': +6(10-4) +50(href+data pages) -25(negative ancestor)
+        assert links["http://dispatch.example/series/heat-4/page/4"][0] == 31
+        # skips: base-url '1', offsite domain, >25-char anchor text
+        assert "http://dispatch.example/series/heat-4" not in links
+        assert not any("other.example" in h for h in links)
+        assert len(links) == 5
+        meta = json.loads(_read("paginatorpage.meta.json"))
+        assert meta["nextPage"].endswith("/series/heat-4/page/2")
+
+    def test_img_dimension_bonuses_reach_parent(self):
+        """S3 (readability-sax.ts:395-417): width and height each score
+        INDEPENDENTLY — width>=390 / height>=290 give the parent +20
+        apiece, width>=200 / height>=150 give +5 apiece. The page's
+        imgs (400x300, 250x180) contribute 20+20+5+5 = +50 to the
+        winning candidate (anchored total pinned in meta)."""
+        r = self._readable()
+        assert r._top_candidate is not None
+        meta = json.loads(_read("paginatorpage.meta.json"))
+        assert meta["score"] == 100
+        from readabilitysax_spark.core.api import extract as _extract
+        spec = PAGES["paginatorpage"]
+        html = open(spec["path"], encoding="utf-8").read()
+        # demote the big img to the +5 band on both dims: -30
+        mid = html.replace('width="400" height="300"',
+                           'width="250" height="180"')
+        art = _extract(mid, url=spec["url"], settings={"resolvePaths": True})
+        assert art["score"] == meta["score"] - 30
+        # below both thresholds on both imgs: the whole +50 vanishes
+        none = (html
+                .replace('width="400" height="300"', 'width="100" height="80"')
+                .replace('width="250" height="180"', 'width="100" height="80"'))
+        art = _extract(none, url=spec["url"], settings={"resolvePaths": True})
+        assert art["score"] == meta["score"] - 50
+
+    def test_nocontent_class_leak_strips_parent(self):
+        """Q1 (readability-sax.ts:360-366 + 369-399): <span> pushes no
+        node, so its class='sidebar related' scores the PARENT div,
+        which is then stripped as an unlikely candidate — the decoy
+        text must not survive, while the same div with the class ON
+        the span replaced by a neutral one would keep it."""
+        text = _read("paginatorpage.text.txt")
+        assert "Decoy block" not in text
+        spec = PAGES["paginatorpage"]
+        html = open(spec["path"], encoding="utf-8").read()
+        neutral = html.replace('<span class="sidebar related">', "<span>")
+        from readabilitysax_spark.core.api import extract as _extract
+        art = _extract(neutral, url=spec["url"],
+                       settings={"resolvePaths": True})
+        assert "Decoy block" in art["text"]
