@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from readabilitysax_spark.operators import (
     corpus,
@@ -495,23 +496,43 @@ def _q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the DuckDB oracle's replication of the same Lloyd
     centroids, so probe-count tuning has a measured basis.
 
-    The query panel is metadata-sized (collected once); ground truth
-    and every probe level reuse the ONE prebuilt index — at 100 TB
-    the brute-force side is the only full scan and runs once per
-    panel refresh, not per query."""
+    The query panel is metadata-sized (collected once); every probe
+    level reuses the ONE prebuilt index, and the brute-force ground
+    truth is ONE corpus scan for the whole panel (broadcast panel ⨯
+    corpus, row_number per query_id — Catalyst turns the rn<=k filter
+    into a map-side WindowGroupLimit prune, the same skew-safe top-k
+    shape as domain_cap) — not a scan per query."""
     emb = _read_embeddings(spark, sf_dir).where(F.col("vec_id") != 0)
     centroids, assigned = _ivf_index(spark, sf_dir)
     qvecs = {
         int(r["vec_id"]): [float(v) for v in r["embedding"]]
         for r in emb.where(F.col("vec_id").isin(*_RECALL_QUERY_IDS)).collect()
     }
-    truth = None
+    panel = F.array(*[
+        F.struct(
+            F.lit(qid).cast("bigint").alias("query_id"),
+            F.array(*[F.lit(v) for v in qvecs[qid]]).alias("qv"),
+        )
+        for qid in _RECALL_QUERY_IDS
+    ])
+    scored = emb.select(
+        "vec_id", "embedding", F.explode(panel).alias("q")
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        "vec_id",
+        F.round(similarity.cosine(F.col("q.qv"), F.col("embedding")), 6)
+        .alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _RECALL_K)
+        .select("query_id", "vec_id")
+    )
     got = None
     for qid in _RECALL_QUERY_IDS:
-        t = similarity.brute_force_topk(emb, qvecs[qid], k=_RECALL_K).select(
-            F.lit(qid).cast("bigint").alias("query_id"), "vec_id"
-        )
-        truth = t if truth is None else truth.unionByName(t)
         for p in _RECALL_PROBES:
             g = similarity.ivf_search(
                 assigned, centroids, qvecs[qid], n_probe=p, k=_RECALL_K
@@ -1218,7 +1239,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(len(w) AS BIGINT) AS n_words,
                  CAST(round((lc - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 6)
                       AS DOUBLE) AS mean_word_len,
-                 CAST(round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                 CAST(round(len(list_filter(w, x -> regexp_matches(x, '\\p{{L}}')))
                       / CAST(len(w) AS DOUBLE), 6) AS DOUBLE) AS alpha_ratio,
                  CAST(length(list_intersect(list_distinct(w), {_stop_list}))
                       AS INT) AS n_stop_distinct

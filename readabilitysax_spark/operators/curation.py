@@ -132,7 +132,10 @@ def url_host(url_col: str = "url"):
     fail-closed filter an alternate port is still the blocked host,
     unlike dedup canonicalization where origin identity matters)."""
     raw = F.lower(F.regexp_extract(F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(raw, "^[^@]*@", "")
+    # GREEDY strip: WHATWG treats everything before the LAST '@' as
+    # userinfo, so 'http://a@b@evil.example/' serves from evil.example —
+    # a non-greedy strip would leave 'b@evil.example' and fail open
+    host = F.regexp_replace(raw, "^.*@", "")
     host = F.regexp_replace(host, ":[0-9]*$", "")
     return F.regexp_replace(host, "^www\\.", "")
 

@@ -184,10 +184,18 @@ def minhash_candidate_pairs(
     cap are dropped from pair generation — audit what would be dropped
     with ``oversize_lsh_buckets`` (no-silent-caps rule)."""
     # NULL signatures (shingle-less short docs) excluded: concat_ws
-    # silently drops NULLs, which would bucket every short doc together
+    # silently drops NULLs, which would bucket every short doc together.
+    # The SIGNATURE table (1 row/doc, num_hashes cols) is what gets
+    # materialized — it feeds the cap aggregation and BOTH sides of the
+    # self-join, which would otherwise recompute the shingle→md5
+    # pipeline 3×. Checkpointing the signatures instead of the exploded
+    # band table writes num_hashes× less data for the same reuse (the
+    # band explode is a cheap post-scan projection); at 10^12 docs this
+    # is "persist the signature table to storage once", the standard
+    # MinHash deployment layout. (localCheckpoint = in-session analog.)
     sigs = minhash_signatures(documents, num_hashes, shingle_words).where(
         F.col("minhash_0").isNotNull()
-    )
+    ).localCheckpoint()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -197,12 +205,6 @@ def minhash_candidate_pairs(
             ])
         ).alias("bucket"),
     )
-    # materialize the band table once — it feeds the cap aggregation and
-    # BOTH sides of the self-join, which would otherwise recompute the
-    # shingle→signature pipeline 3×. (At 10^12 docs the signature/band
-    # table is persisted to storage once and reused; localCheckpoint is
-    # the in-session analog.)
-    bands = bands.localCheckpoint()
     if max_bucket_size is not None:
         wide = (
             bands.groupBy("bucket").count()
@@ -568,27 +570,12 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """Spark-side simhash via the same arithmetic (JVM expressions).
 
     ``bits=64`` is the production width (two's-complement MSB, signed
-    BIGINT); smaller widths keep the identical plan shape."""
-    words = documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).withColumn("h", F.md5("word"))
-    aggs = []
-    for b in range(bits):
-        hx = b // 4 + 1
-        power = 2 ** (3 - b % 4)
-        nib = F.expr(f"instr('0123456789abcdef', substring(h, {hx}, 1)) - 1")
-        bit = F.when((nib % (power * 2)) >= power, 1).otherwise(-1)
-        weight = -(2 ** 63) if (bits == 64 and b == 0) else 2 ** (bits - 1 - b)
-        aggs.append(
-            F.when(F.sum(bit) > 0, F.lit(weight).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint")).alias(f"b{b}")
-        )
-    per_doc = words.groupBy("doc_id").agg(*aggs)
-    total = None
-    for b in range(bits):
-        c = F.col(f"b{b}")
-        total = c if total is None else total + c
-    return per_doc.select("doc_id", total.cast("bigint").alias("simhash"))
+    BIGINT); smaller widths keep the identical plan shape. One width =
+    the single-width projection of :func:`simhash_multi` (one source of
+    truth for the nibble/vote/weight arithmetic)."""
+    return simhash_multi(documents, (bits,)).withColumnRenamed(
+        f"simhash{bits}", "simhash"
+    )
 
 
 def simhash_multi(

@@ -101,21 +101,6 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
-def corpus_stats_by_lang(documents: DataFrame) -> DataFrame:
-    """Corpus rollup: (lang, n_docs, total_chars, avg_chars, total_words)."""
-    words = F.split("text", " ")
-    return (
-        documents.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.length("text")).alias("total_chars"),
-            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
-            F.sum(F.size(words)).cast("bigint").alias("total_words"),
-        )
-        .orderBy("lang")
-    )
-
-
 def corpus_profile(documents: DataFrame, size_col: str = "n_chars") -> DataFrame:
     """Distribution profile per language: (lang, n_docs, n_sources,
     total_chars, avg_chars, total_words, median_chars, p90_chars) —
@@ -318,11 +303,13 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         (F.length("text") - (n_words - 1)) / n_words, 6
     )
     # Gopher's rule is "contains at least one ALPHABETIC character" —
-    # [A-Za-z], not [a-z]: uppercase-only words (NASA, I, acronyms)
-    # are alphabetic and must not push real mixed-case text under the
-    # 0.80 gate (round-3 ADVICE).
+    # Unicode \p{L}, not an ASCII class: uppercase-only words (NASA, I)
+    # and non-Latin scripts (Cyrillic, Greek, CJK) are alphabetic and
+    # must not push real text under the 0.80 gate (round-3 ADVICE +
+    # round-4 review). Java regex and DuckDB's RE2 agree on \p{L}, so
+    # the oracle stays engine-exact.
     alpha_ratio = F.round(
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+        F.size(F.filter(words, lambda w: w.rlike("\\p{L}"))) / n_words, 6
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_arr))

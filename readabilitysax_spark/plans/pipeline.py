@@ -72,20 +72,30 @@ def stage_bucketed_pages(
     pages: DataFrame,
     staging_dir: str,
     n_buckets: int,
+    input_token: str | None = None,
 ) -> DataFrame:
     """Materialize pages partitioned by url-hash bucket, exactly once.
 
     One full scan of the input writes ``staging_dir/bucket=<b>/``;
     a marker file (written AFTER the parquet commit, holding the
-    bucket count) makes the stage itself resumable: missing or
-    mismatched marker → restage (mode=overwrite wipes partials),
-    present marker → reuse. Returns the staged frame, whose ``bucket``
-    is a PARTITION column — per-bucket filters prune to that bucket's
-    files instead of rescanning the input (asserted in
+    bucket count + input identity) makes the stage itself resumable:
+    missing or mismatched marker → restage (mode=overwrite wipes
+    partials), present marker → reuse. Returns the staged frame, whose
+    ``bucket`` is a PARTITION column — per-bucket filters prune to that
+    bucket's files instead of rescanning the input (asserted in
     tests/test_spark_pipeline.py::test_per_bucket_read_is_pruned).
+
+    ``input_token`` names the input VERSION (on Iceberg: the snapshot
+    id; on raw parquet: a content/run fingerprint). A resume against a
+    CHANGED input must not silently finish the remaining buckets from
+    the stale staged copy — a different token forces a restage. When
+    the caller passes none, the token falls back to the input's schema
+    (catches shape changes, not content changes — callers that mutate
+    content between resumes must pass a real token).
     """
     marker = os.path.join(staging_dir, _STAGE_MARKER)
-    want = f"n_buckets={n_buckets}"
+    token = input_token or f"schema:{pages.schema.simpleString()}"
+    want = f"n_buckets={n_buckets}\ninput={token}"
     staged_ok = False
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as f:
@@ -115,8 +125,15 @@ def run_pipeline(
     n_buckets: int = 8,
     output_type: str = "text",
     num_partitions: int | None = None,
+    input_token: str | None = None,
 ) -> dict:
-    """Returns {"buckets_done": int, "buckets_skipped": int, ...}."""
+    """Returns {"buckets_done": int, "buckets_skipped": int, ...}.
+
+    ``input_token`` identifies the input version for the staging
+    marker (see :func:`stage_bucketed_pages`) — pass the Iceberg
+    snapshot id (or equivalent) so a resume after the source changed
+    restages instead of reading stale staged pages.
+    """
     run_id = run_id or f"run-{int(time.time())}"
     articles_dir = os.path.join(output_dir, "articles")
     metrics_dir = os.path.join(output_dir, "metrics")
@@ -126,7 +143,7 @@ def run_pipeline(
     committed = load_committed_buckets(spark, checkpoint_dir)
     todo = [b for b in range(n_buckets) if b not in committed]
     staged = (
-        stage_bucketed_pages(spark, pages, staging_dir, n_buckets)
+        stage_bucketed_pages(spark, pages, staging_dir, n_buckets, input_token)
         if todo
         else None
     )
@@ -170,9 +187,12 @@ def run_pipeline(
         ).parquet(checkpoint_dir)
         done += 1
 
-    if done + skipped == n_buckets and done > 0:
+    if done + skipped == n_buckets:
         # every bucket committed: the staging copy is dead weight now
-        # (resume will skip all buckets without touching it) — GC it
+        # (resume will skip all buckets without touching it) — GC it.
+        # Runs on all-skipped resumes too, so a crash BETWEEN the last
+        # checkpoint commit and this rmtree still gets cleaned up by
+        # the next invocation (rmtree on a missing dir is a no-op).
         shutil.rmtree(staging_dir, ignore_errors=True)
 
     return {

@@ -97,6 +97,8 @@ def test_filter_blocklist_hostile_url_shapes(spark):
             ("http://evil.example:80/c", "en"),     # default port
             ("http://evil.example:8080/d", "en"),   # alternate port
             ("http://u:p@evil.example/e", "en"),    # userinfo
+            ("http://a@b@evil.example/f2", "en"),   # double-@ spoof: host
+                                                    # is after the LAST @
             ("https://www.evil.example/f", "en"),   # www + https
             ("http://ok.example/g", "en"),
         ],

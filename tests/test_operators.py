@@ -417,7 +417,7 @@ def test_all_doc_operators_survive_hostile_docs(spark):
         lambda: textstats.language_id(df),
         lambda: textstats.quality_stats(df),
         lambda: textstats.fingerprints(df),
-        lambda: textstats.corpus_stats_by_lang(df),
+        lambda: textstats.corpus_profile(df),
         lambda: textstats.repetition_stats(df),
         lambda: corpus.stratified_sample(df, {"en": 0.5}, default_rate=0.1),
         lambda: corpus.pack_sequences(df, budget=16),
