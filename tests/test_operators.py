@@ -877,3 +877,21 @@ def test_remove_duplicate_spans_empty_text(spark):
         assert out[i]["n_removed"] == 0
         assert out[i]["clean_text"] == ""
     assert out[2]["n_spans"] == 1 and out[2]["n_kept"] == 1
+
+
+def test_gopher_alpha_is_unicode_aware(spark):
+    """\\p{L} alpha rule: Cyrillic/CJK words are alphabetic (Gopher's
+    gate must not drop non-Latin languages); digit soup still fails.
+    DuckDB RE2 agrees on \\p{L} (checked in the oracle harness)."""
+    from readabilitysax_spark.operators import textstats
+
+    ru = " ".join(["привет", "мир", "это"] * 25 + ["the", "and"])
+    zh = " ".join(["漢字", "文書"] * 38 + ["the", "and"])
+    digits = " ".join(["1234"] * 77 + ["the", "and"])
+    df = spark.createDataFrame(
+        [(0, ru), (1, zh), (2, digits)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.gopher_quality_flags(df).collect()}
+    assert out[0]["alpha_ratio"] == 1.0 and out[0]["ok_alpha"]
+    assert out[1]["alpha_ratio"] == 1.0 and out[1]["ok_alpha"]
+    assert not out[2]["ok_alpha"]
