@@ -255,19 +255,81 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for LSH candidate pairs only.
 
     (doc_a, doc_b, jaccard) — uses array_intersect/array_union on the
     deduplicated shingle sets; the expensive all-pairs product is
-    avoided by the LSH pre-filter.
+    avoided by the LSH pre-filter (band semantics and ``max_bucket_size``
+    cap identical to ``minhash_candidate_pairs``).
+
+    ONE combined pass (round-3 VERDICT item 5): the distinct shingle set
+    and the minhash signature are derived from a single scan→shingle
+    projection and checkpointed together (1 row/doc). Hashing the
+    DISTINCT set yields the same signature as the multiset — min is
+    duplicate-insensitive — so values are unchanged; the previous layout
+    ran the scan→split→shingle pipeline twice (once for signatures, once
+    for Jaccard sets) and materialized two tables. At 10^12 docs this is
+    "persist ONE doc-level dedup-feature table", which the clustering
+    chain then reuses for candidates AND exact verification.
     """
-    pairs = minhash_candidate_pairs(documents, num_hashes, shingle_words)
-    # materialized once: feeds both sides of the pair join (same
-    # persist-the-shingle-table pattern as the band table above)
-    sets_df = shingle_table(documents, "text", shingle_words).select(
+    n_digests = (num_hashes + 3) // 4
+    sets = shingle_table(documents, "text", shingle_words).select(
         "doc_id", F.array_distinct("sh").alias("sset")
+    )
+
+    def digest_col(d: int) -> Column:
+        salt = F.lit(f"{d}:")  # single-arg lambda: see minhash_signatures
+        return F.transform(
+            F.col("sset"), lambda s: F.md5(F.concat(salt, s))
+        ).alias(f"_d{d}")
+
+    digs = sets.select(
+        "doc_id", "sset", *[digest_col(d) for d in range(n_digests)]
+    )
+
+    def window_min(i: int) -> Column:
+        off = 1 + 8 * (i % 4)
+        return F.array_min(
+            F.transform(F.col(f"_d{i // 4}"), lambda h: F.substring(h, off, 8))
+        ).alias(f"minhash_{i}")
+
+    combined = digs.select(
+        "doc_id", "sset", *[window_min(i) for i in range(num_hashes)]
     ).localCheckpoint()
+
+    # band self-join over the combined table — NULL signatures
+    # (shingle-less docs) excluded exactly as in minhash_candidate_pairs
+    bands = combined.where(F.col("minhash_0").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(k)), F.col(f"minhash_{k}"))
+                for k in range(num_hashes)
+            ])
+        ).alias("bucket"),
+    )
+    if max_bucket_size is not None:
+        wide = (
+            bands.groupBy("bucket").count()
+            .where(F.col("count") > max_bucket_size)
+        )
+        bands = bands.join(
+            F.broadcast(wide.select("bucket")), "bucket", "left_anti"
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_df = combined.select("doc_id", "sset")
     return (
         pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "set_a"), "doc_a")
         .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "set_b"), "doc_b")
