@@ -213,25 +213,72 @@ def skew_demo(cpus: int) -> dict:
     }
 
 
-def fixture_throughput(reps: int = 60) -> dict:
+def host_noise_probe(runs: int = 3) -> dict:
+    """Pre-flight CPU-steal probe (round-3 VERDICT item 6): a fixed
+    single-core pure-Python extraction burst, repeated; the max/min
+    spread across repeats is the host-noise estimate. On a quiet host
+    the same work takes the same time (spread ≲ 10%); this VM's
+    documented ±30% steal shows up directly as spread. The snapshot tag
+    lets cross-round comparisons discount contended readings instead of
+    misreading them as code regressions."""
+    from readabilitysax_spark.core.api import extract
+    from readabilitysax_spark.functions.pagegen import synth_page
+
+    # ~0.3 s of work per run: long enough that scheduler jitter (<1 ms)
+    # is invisible and only genuine steal moves the reading
+    pages = [
+        synth_page(i, f"probe body text {i % 7}, with commas, " * 200, "probe")
+        for i in range(24)
+    ]
+    extract(pages[0][1], url=pages[0][0])  # warm imports/regex caches
+    walls = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        for _ in range(25):
+            for url, html in pages:
+                extract(html, url=url)
+        walls.append(time.perf_counter() - t0)
+    spread = (max(walls) - min(walls)) / min(walls) if min(walls) else 0.0
+    return {
+        "runs": runs,
+        "wall_sec": [round(w, 4) for w in walls],
+        # quiet-window spreads observed on this VM: 0.10-0.19; steal
+        # events read 0.24-3.8 — 0.2 separates the two populations
+        "spread": round(spread, 3),
+        "tag": "quiet" if spread <= 0.2 else "contended",
+    }
+
+
+def fixture_throughput(reps: int = 20, batches: int = 3) -> dict:
     """Single-core extraction rate on the reference's own 42 KB fixture
     — the apples-to-apples anchor against readabilitySAX's published
-    ~125 docs/s single-threaded (reference readme 'Performance')."""
+    ~125 docs/s single-threaded (reference readme 'Performance').
+
+    Measured as ``batches`` independent batches of ``reps`` pages; the
+    MEDIAN batch is the headline estimator and the best batch is kept
+    alongside (round-3 VERDICT item 6: median-of-3 + disclosure beats a
+    single reading on a ±30%-steal VM)."""
     from readabilitysax_spark.core.api import extract
 
     path = "/root/reference/tests/testpage.html"
     html = open(path, encoding="utf-8").read()
     n_bytes = len(html.encode())
     extract(html, url="http://howtonode.org/heat-tracer/")  # warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        extract(html, url="http://howtonode.org/heat-tracer/")
-    wall = time.perf_counter() - t0
+    batch_ms = []
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            extract(html, url="http://howtonode.org/heat-tracer/")
+        batch_ms.append((time.perf_counter() - t0) / reps * 1000)
+    med = sorted(batch_ms)[(len(batch_ms) - 1) // 2]
+    best = min(batch_ms)
     return {
         "fixture": "reference testpage.html (42 KB)",
-        "docs_per_sec_1core": round(reps / wall, 1),
-        "ms_per_page_1core": round(wall / reps * 1000, 2),
-        "mb_per_sec_1core": round(reps * n_bytes / wall / 1e6, 2),
+        "batches_ms_per_page": [round(b, 2) for b in batch_ms],
+        "ms_per_page_1core": round(med, 2),
+        "ms_per_page_1core_best": round(best, 2),
+        "docs_per_sec_1core": round(1000 / med, 1),
+        "mb_per_sec_1core": round(n_bytes / (med / 1000) / 1e6, 2),
         # anchor: reference readme 'Performance' — 724 CleanEval pages
         # (~30 KB avg) in 5768 ms single-threaded V8 ≈ 7.97 ms/page.
         # Per-MB the pure-Python core is comparable single-core; the
@@ -313,6 +360,10 @@ def bench_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict]:
 
 
 def main() -> None:
+    # pre-flight host-noise reading; repeated post-suite because a long
+    # run can START quiet and FINISH contended (the r3 closing snapshot
+    # did exactly that) — the snapshot tag is contended if either is
+    noise_pre = host_noise_probe()
     tag = os.path.basename(SF_DIR.rstrip("/"))
     full_path = os.path.join(WORK_DIR, f"pages_{tag}_x{COPIES}")
     q_copies = max(COPIES // 4, 1)
@@ -369,12 +420,27 @@ def main() -> None:
         + low["wall_sec"] + high["wall_sec"], 3,
     )
 
+    streaming = streaming_bench(quarter_path, cpus=max(CPUS // 4, 1))
+    fixture = fixture_throughput()
+    skew = skew_demo(CPUS)
+    noise_post = host_noise_probe()
+    host_tag = (
+        "quiet"
+        if noise_pre["tag"] == "quiet" and noise_post["tag"] == "quiet"
+        else "contended"
+    )
+
     print(json.dumps({
         "metric": "headline suite wall (extraction@4 parallelism levels + operator queries)",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": _sf_label(SF_DIR),
+        "host": {
+            "tag": host_tag,
+            "noise_pre": noise_pre,
+            "noise_post": noise_post,
+        },
         "extraction": {
             "pages": n_rows,
             "html_mb": round(n_bytes / 1e6, 2),
@@ -396,9 +462,9 @@ def main() -> None:
             "normalized_saturated_efficiency": normalized,
         },
         "ivf_index": ivf_index,
-        "streaming": streaming_bench(quarter_path, cpus=max(CPUS // 4, 1)),
-        "reference_fixture": fixture_throughput(),
-        "skew_defusal": skew_demo(CPUS),
+        "streaming": streaming,
+        "reference_fixture": fixture,
+        "skew_defusal": skew,
     }))
 
 
