@@ -424,9 +424,15 @@ def main() -> None:
     fixture = fixture_throughput()
     skew = skew_demo(CPUS)
     noise_post = host_noise_probe()
+    # pre/post probes bracket the run but miss mid-run steal bursts; the
+    # in-suite hardware control is the mid-run witness — a pure-CPU
+    # multiprocessing scaling of <0.55 for 8->32 has only ever been
+    # observed on this VM during heavy steal (quiet readings: 0.62-0.95)
     host_tag = (
         "quiet"
-        if noise_pre["tag"] == "quiet" and noise_post["tag"] == "quiet"
+        if noise_pre["tag"] == "quiet"
+        and noise_post["tag"] == "quiet"
+        and hw_eff >= 0.55
         else "contended"
     )
 
