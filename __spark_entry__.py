@@ -30,7 +30,11 @@ from readabilitysax_spark.operators import (
     textstats,
 )
 from readabilitysax_spark.operators.extract import extract_articles
-from readabilitysax_spark.sources.pages import read_documents, read_pages
+from readabilitysax_spark.sources.pages import (
+    read_documents,
+    read_pages,
+    spread_small_scan,
+)
 
 _ARTICLE_COLS = [
     "url", "title", "text", "text_length", "score", "next_page",
@@ -420,7 +424,11 @@ def _q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spread_small_scan: a one-row-group parquet file would pin the
+    # CPU-bound dot-product stages to a single core (see sources/pages)
+    return spread_small_scan(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,7 +627,7 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-telemetry shape: tumbling event-time window × type rollup
     with JSON prop extraction — the relational/streaming shell the
     reference lacks (SURVEY §2.4), expressed declaratively."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
     return (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("hour"),
@@ -659,7 +667,7 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (window functions over events)."""
     from readabilitysax_spark.operators.sessionize import user_session_stats
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spread_small_scan(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
     return user_session_stats(ev, gap_minutes=30)
 
 

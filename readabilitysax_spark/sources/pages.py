@@ -66,8 +66,28 @@ def synthesize_pages(documents: DataFrame) -> DataFrame:
     )
 
 
+def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin a scan whose split count is below the core count.
+
+    Parquet splits align to row groups, so a small corpus written as one
+    row group arrives as ONE partition no matter what
+    ``maxPartitionBytes``/``openCostInBytes`` say — and every downstream
+    CPU-bound map stage (md5 shingling, page synthesis, extraction) then
+    runs single-core. The repartition is a tiny shuffle at the scales
+    where it fires and a structural NO-OP at production scale: a 100 TB
+    table scans as thousands of splits, so the branch never triggers and
+    no full-corpus shuffle is ever added.
+    """
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_small_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def read_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _algo_exchanges(plan: str) -> list[str]:
+    """Exchange lines that move data for the ALGORITHM (hash/range/
+    single-partition), excluding the guarded round-robin input spread
+    (`sources.pages.spread_small_scan`): that Exchange only exists when
+    a small corpus scans as fewer splits than cores — a structural
+    no-op at production scale — and must not count against the
+    one-shuffle/map-only pins that model 100 TB behavior."""
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "roundrobinpartitioning" not in ln.lower()
+    ]
+
+
 @pytest.fixture(scope="module")
 def pages_parquet(spark, tmp_path_factory):
     from readabilitysax_spark.sources.pages import read_pages
@@ -51,13 +65,13 @@ def test_lang_rollup_single_exchange_partial_agg(spark, pages_parquet):
 def test_dedup_single_shuffle(spark):
     for name in ("dedup_exact", "dedup_minhash_lsh"):
         plan = _plan(entry.queries()[name](spark, SF_TINY))
-        assert plan.count("Exchange") == 1, name
+        assert len(_algo_exchanges(plan)) == 1, name
 
 
 def test_topk_uses_take_ordered(spark):
     plan = _plan(entry.queries()["similarity_topk"](spark, SF_TINY))
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan
+    assert not _algo_exchanges(plan)
 
 
 def test_stratified_sample_is_filter_only(spark):
@@ -124,7 +138,7 @@ def test_dedup_spans_no_window_no_join(spark):
 
 def test_gopher_quality_is_map_only(spark):
     plan = _plan(entry.queries()["gopher_quality"](spark, SF_TINY))
-    assert "Exchange" not in plan
+    assert not _algo_exchanges(plan)
 
 
 def test_vocab_stats_partial_agg_and_topk(spark):
@@ -201,7 +215,7 @@ def test_outlinks_map_only_and_link_graph_partial_agg(spark):
     """Outlink extraction is the same zero-shuffle vectorized map as
     article extraction; the in-degree rollup aggregates with map-side
     partial combine and no cartesian."""
-    assert "Exchange" not in _plan(entry.queries()["outlinks"](spark, SF_TINY))
+    assert not _algo_exchanges(_plan(entry.queries()["outlinks"](spark, SF_TINY)))
     plan = _plan(entry.queries()["link_graph"](spark, SF_TINY))
     assert "partial" in plan
     assert "CartesianProduct" not in plan
@@ -209,7 +223,7 @@ def test_outlinks_map_only_and_link_graph_partial_agg(spark):
 
 def test_quality_classifier_is_map_only(spark):
     plan = _plan(entry.queries()["quality_classifier"](spark, SF_TINY))
-    assert "Exchange" not in plan
+    assert not _algo_exchanges(plan)
 
 
 def test_sample_per_lang_partial_window_group_limit(spark):
@@ -220,7 +234,7 @@ def test_sample_per_lang_partial_window_group_limit(spark):
 
 def test_normalize_text_is_map_only(spark):
     plan = _plan(entry.queries()["normalize_text"](spark, SF_TINY))
-    assert "Exchange" not in plan
+    assert not _algo_exchanges(plan)
 
 
 def test_simhash_multi_single_exchange(spark):
@@ -228,7 +242,7 @@ def test_simhash_multi_single_exchange(spark):
     and ONE doc_id-keyed shuffle with map-side partial sums — merging
     the widths must not double the aggregation cost."""
     plan = _plan(entry.queries()["dedup_simhash"](spark, SF_TINY))
-    assert plan.count("Exchange") == 1, plan
+    assert len(_algo_exchanges(plan)) == 1, plan
     assert "partial_sum" in plan
 
 
@@ -245,6 +259,22 @@ def test_corpus_profile_single_exchange(spark):
     assert len(aggx) == 2, plan
     assert "partial_percentile" in plan and "partial_sum" in plan
     assert plan.count("FileScan") == 1
+
+
+def test_spread_small_scan_guard(spark):
+    """The input spread fires ONLY below the cores-worth-of-splits
+    threshold: a one-row-group scan is widened to defaultParallelism
+    (else every CPU-bound map stage runs single-core), while an input
+    that is already at least that wide passes through IDENTICALLY —
+    the guard may never add a full-corpus shuffle at scale."""
+    from readabilitysax_spark.sources.pages import spread_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    assert docs.rdd.getNumPartitions() < par  # fixture precondition
+    assert spread_small_scan(spark, docs).rdd.getNumPartitions() == par
+    wide = docs.repartition(par)
+    assert spread_small_scan(spark, wide) is wide
 
 
 def test_ivf_recall_no_query_time_assign(spark):
