@@ -205,6 +205,28 @@ class TestTokenizerEdgeEvents:
             (CLOSE, "script"), (TEXT, "y")]
 
 
+class TestGetBaseUrlPageInUrl:
+    """getBaseURL's rePageInURL strip branches (get-base-url.ts:40-52):
+    a trailing page-marker segment is removed from BOTH the last path
+    component and the final URL component when it matches
+    /[_-]?p[a-zA-Z]*[_-]?\\d{1,2}$/."""
+
+    def test_first_component_page_marker_stripped(self):
+        from readabilitysax_spark.core.urls import get_base_url
+        # first='page-2' is not badFirst, matches pageInURL → stripped
+        # to '' (the trailing '/' survives — reference appends '/' + '')
+        assert get_base_url(parse_page_url(
+            "http://s.example/series/heat/page-2"
+        )) == "http://s.example/series/heat/"
+
+    def test_second_component_page_marker_stripped(self):
+        from readabilitysax_spark.core.urls import get_base_url
+        # second='entry-p2' → '-p2' stripped; first='7' is badFirst (\d+)
+        assert get_base_url(parse_page_url(
+            "http://s.example/blog/entry-p2/7"
+        )) == "http://s.example/blog/entry"
+
+
 class TestConvertLinksEdges:
     """_convertLinks special cases (ts:240-269) beyond the reference's
     own vectors: empty href resolves to the full page URL; a
