@@ -158,6 +158,27 @@ PAGES = {
             "score": 100,
         },
     },
+    # O3×S3×S24 interaction page: the ': ' title branch ships its
+    # prefix-keeping quirk (the result title literally starts with
+    # ': '), a re_safe class (hentry, +300 instant candidate) beats a
+    # content div with more text, the same-class <section> sibling
+    # joins via the elementData score branch and is renamed to div
+    # (the candidate itself keeps its name), the short sentence coda
+    # <p> joins via re_sentence, and the non-adopted h1 (not a title
+    # substring) is dropped entirely. Sister trap pinned in the test:
+    # an href path containing 'galley' loses 15 to re_extraneous
+    # because galley ⊃ 'all'.
+    "galleypage": {
+        "path": os.path.join(ROOT, "tests/fixtures/galleypage.html"),
+        "url": "http://press.example/proofs/week-9/",
+        "settings": {},
+        "anchor": {
+            "title": ": Week Nine In Review",
+            "score": 328,
+            "nextPage": "http://press.example/proofs/week-9/page/2",
+            "skipLevel": 0,
+        },
+    },
     # S5/S6 + RCDATA: entities decoded inside <title>; the 4-word <h1>
     # substring of the decoded title becomes the header title
     "rcdatapage": {

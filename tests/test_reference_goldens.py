@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 
@@ -285,6 +286,58 @@ class TestTestpageOutlinks:
         assert any(h == art["nextPage"] for _, h, _t in links)
         digest = hashlib.md5(repr(links).encode()).hexdigest()
         assert digest == "915d767fa3d36f4cbb18e7a14a1e664b"
+
+
+class TestGalleypage:
+    """O3×S3×S24 interaction pins (round-4 coverage page): the branches
+    test_branch_pins.py covers in isolation, interacting on one organic
+    page."""
+
+    URL = "http://press.example/proofs/week-9/"
+
+    def _html(self):
+        return open(PAGES["galleypage"]["path"], encoding="utf-8").read()
+
+    def test_colon_title_quirk_ships(self):
+        """getTitle (readability-sax.ts:656-665): the h1 is not a title
+        substring so it is never adopted (and is DROPPED from the tree,
+        ts:454); the ': ' branch then strips to 4 words, falls back to
+        indexOf(': ') keeping the prefix, and the 5-split-word result
+        ships — the extracted title literally starts with ': '."""
+        meta = json.loads(_read("galleypage.meta.json"))
+        assert meta["title"] == ": Week Nine In Review"
+        assert "The Week In Galley Proofs" not in _read("galleypage.html.txt")
+
+    def test_safe_class_beats_content_div(self):
+        """re_safe 'hentry' (ts:78,384-386): +300 and instant candidacy
+        carry the first section to score 328 (300 + section 15 + 13
+        paragraph points) over the positive-classed content div; the
+        circular decoy must not survive."""
+        meta = json.loads(_read("galleypage.meta.json"))
+        assert meta["score"] == 328
+        assert "Subscribe to the shop circular" not in _read("galleypage.text.txt")
+
+    def test_sibling_merge_and_rename(self):
+        """getCandidateSiblings (ts:137-154): the second section shares
+        elementData ' hentry' and joins via the score branch — renamed
+        to div (ts:141) — while the candidate keeps its own name; the
+        short coda <p> joins via re_sentence."""
+        h = _read("galleypage.html.txt")
+        assert h.startswith("<section>")
+        assert h.count("<section>") == 1
+        assert re.search(r"</section>\s*<div>\s*<p>The second block", h)
+        assert h.rstrip().endswith("The presses rest on Sunday.</p>")
+
+    def test_galley_href_loses_to_extraneous_all(self):
+        """_scanLink (ts:307): re_extraneous includes 'all', so a
+        pagination href under /galley/ silently loses 15 points —
+        'galley' ⊃ 'all' — which on this page drops the winning link
+        below the 49-point bar and kills nextPage entirely."""
+        meta = json.loads(_read("galleypage.meta.json"))
+        assert meta["nextPage"] == "http://press.example/proofs/week-9/page/2"
+        html = self._html().replace("/proofs/week-9/page/", "/galley/week-9/page/")
+        art = extract(html, url="http://press.example/galley/week-9/")
+        assert art["nextPage"] == ""
 
 
 class TestPaginatorPage:
