@@ -588,13 +588,19 @@ def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATED_CAP = 15  # per-domain doc cap inside the curated chain
+_HOLDOUT_K = 5  # exact-k holdout docs per language stratum
+
+
 def _q_training_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full FineWeb-style curation composition in ONE plan:
     blocklist → quality gate → exact-dedup keepers → benchmark
-    decontamination — what actually feeds the tokenizer. Every stage
-    is an operator verified standalone above; this query pins that
-    they COMPOSE (joins stay broadcast/anti, corpus scanned once per
-    stage input)."""
+    decontamination → per-domain cap → exact-k holdout split — what
+    actually feeds the tokenizer, holdout included. Every stage is an
+    operator verified standalone above; this query pins that they
+    COMPOSE: joins stay broadcast/anti, the cap and the split are the
+    two WindowGroupLimit-able windows (domain-keyed top-n, lang-keyed
+    rank), and the corpus is scanned once per stage input."""
     docs = read_documents(spark, sf_dir)
     blocked = spark.createDataFrame(
         [(s,) for s in _BLOCKED_SOURCES], "source string"
@@ -604,13 +610,31 @@ def _q_training_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = dedup.exact_duplicates(kept)
     benchmark = docs.where(F.col("doc_id") % _BENCHMARK_EVERY == 0)
     contaminated = curation.decontaminate(kept, benchmark, n=_DECON_NGRAM)
-    return (
+    curated = (
         kept.join(quality, "doc_id")
         .join(dups.select("doc_id", "is_dup"), "doc_id")
         .join(contaminated.select("doc_id"), "doc_id", "left_anti")
         .where((~F.col("is_dup")) & (F.col("quality_score") >= 0.5)
                & (F.col("n_words") >= 10))
-        .select("doc_id", "lang", "n_words", "quality_score")
+        .select("doc_id", "lang", "source", "n_chars",
+                "n_words", "quality_score")
+    )
+    capped = corpus.cap_per_domain(
+        curated, n=_CURATED_CAP,
+        keep=("lang", "n_words", "quality_score"),
+    )
+    marked = corpus.sample_exact_k(
+        capped, k=_HOLDOUT_K, stratum_col="lang",
+        keep=("domain", "n_words", "quality_score", "rank_in_domain"),
+        mark=True,
+    )
+    return (
+        marked.select(
+            "doc_id", "lang", "domain", "n_words", "quality_score",
+            "rank_in_domain",
+            F.when(F.col("in_sample"), F.lit("holdout"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
         .orderBy("doc_id")
     )
 
@@ -1648,17 +1672,18 @@ def oracle_sql() -> dict[str, str]:
         WITH kept AS (
           SELECT * FROM documents WHERE source NOT IN ({blocked})
         ), t AS (
-          SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+          SELECT doc_id, lang, source, n_chars, text,
+                 string_split(text, ' ') AS w,
                  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
           FROM kept
         ), s AS (
-          SELECT doc_id, lang, is_dup,
+          SELECT doc_id, lang, source, n_chars, is_dup,
                  CAST(len(w) AS BIGINT) AS n_words,
                  CAST(round(CAST(length(list_filter(w, x -> list_contains({list(textstats.STOPWORDS)!r}, x))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS stopword_ratio,
                  CAST(round(CAST(length(list_filter(w, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE) / len(w), 6) AS DOUBLE) AS digit_ratio
           FROM t
         ), sc AS (
-          SELECT doc_id, lang, is_dup, n_words,
+          SELECT doc_id, lang, source, n_chars, is_dup, n_words,
                  CAST(round(least(n_words / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3
                             + (1.0 - digit_ratio) * 0.2, 6) AS DOUBLE) AS quality_score
           FROM s
@@ -1678,11 +1703,30 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id % {_BENCHMARK_EVERY} = 0)
         ), contaminated AS (
           SELECT DISTINCT kg.doc_id FROM kg JOIN bg USING (gram)
+        ), curated AS (
+          SELECT sc.doc_id, sc.lang, sc.source, sc.n_chars,
+                 sc.n_words, sc.quality_score
+          FROM sc
+          WHERE NOT is_dup AND quality_score >= 0.5 AND n_words >= 10
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), capped AS (
+          SELECT doc_id, lang, source AS domain, n_words, quality_score,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                 ) AS INT) AS rank_in_domain
+          FROM curated
+          QUALIFY rank_in_domain <= {_CURATED_CAP}
         )
-        SELECT doc_id, lang, n_words, quality_score
-        FROM sc
-        WHERE NOT is_dup AND quality_score >= 0.5 AND n_words >= 10
-          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        SELECT doc_id, lang, domain, n_words, quality_score,
+               rank_in_domain,
+               CASE WHEN row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 16),
+                               doc_id
+                    ) <= {_HOLDOUT_K}
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM capped
         ORDER BY doc_id
     """
 

@@ -239,6 +239,7 @@ def cap_per_domain(
     documents: DataFrame,
     n: int = 10,
     domain_col: str = "source",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-domain document cap (the FineWeb/Dolma "no domain dominates
     the mix" rule): keep the ``n`` largest docs per domain, ranked by
@@ -260,7 +261,8 @@ def cap_per_domain(
     )
     return (
         documents.select(
-            "doc_id", F.col(domain_col).alias("domain"), "n_chars"
+            "doc_id", F.col(domain_col).alias("domain"), "n_chars",
+            *keep,
         )
         .withColumn("rank_in_domain", F.row_number().over(w))
         .where(F.col("rank_in_domain") <= n)
@@ -272,6 +274,8 @@ def sample_exact_k(
     k: int,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+    mark: bool = False,
 ) -> DataFrame:
     """Deterministic EXACT-k per-stratum sample (eval/holdout-set
     construction wants "exactly 1000 per language", not a keep-rate):
@@ -282,11 +286,19 @@ def sample_exact_k(
 
     Same skew story as ``cap_per_domain``: the row_number window gets
     Catalyst's WindowGroupLimit map-side partial top-k, so a dominant
-    stratum never funnels its full row set to one reducer."""
+    stratum never funnels its full row set to one reducer.
+
+    ``mark=True`` returns EVERY input row with an ``in_sample`` flag
+    instead of filtering — the holdout/train split shape (note: the
+    full window then runs without the WindowGroupLimit partial prune,
+    which only fires for a filtering top-k)."""
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 16)
     w = Window.partitionBy(stratum_col).orderBy(h, id_col)
-    return (
-        documents.select(id_col, stratum_col)
-        .withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= k)
+    ranked = documents.select(id_col, stratum_col, *keep).withColumn(
+        "sample_rank", F.row_number().over(w)
     )
+    if mark:
+        return ranked.withColumn(
+            "in_sample", F.col("sample_rank") <= k
+        ).drop("sample_rank")
+    return ranked.where(F.col("sample_rank") <= k)

@@ -232,6 +232,25 @@ def test_sample_per_lang_partial_window_group_limit(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_training_corpus_curated_composed_plan(spark):
+    """The full curation chain (blocklist → quality → dedup →
+    decontamination → domain cap → holdout split) must compose into
+    ONE plan whose only join strategies are hash joins (broadcast for
+    the blocklist/benchmark sides, anti for the removals) plus the two
+    curation windows — the domain cap keeping its map-side
+    WindowGroupLimit prune — with no cartesian product and no
+    single-partition funnel before the final presentation sort."""
+    df = entry.queries()["training_corpus_curated"](spark, SF_TINY)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the only SinglePartition exchange allowed is the final global
+    # ORDER BY doc_id (range partitioning), not a mid-plan funnel
+    assert "Exchange SinglePartition" not in plan
+    # both anti-join removals (blocklist, decontamination) survive
+    assert plan.count("LeftAnti") >= 2, plan
+
+
 def test_normalize_text_is_map_only(spark):
     plan = _plan(entry.queries()["normalize_text"](spark, SF_TINY))
     assert not _algo_exchanges(plan)
