@@ -895,3 +895,83 @@ def test_gopher_alpha_is_unicode_aware(spark):
     assert out[0]["alpha_ratio"] == 1.0 and out[0]["ok_alpha"]
     assert out[1]["alpha_ratio"] == 1.0 and out[1]["ok_alpha"]
     assert not out[2]["ok_alpha"]
+
+
+def _ref_jaccard_pairs(docs, threshold, num_hashes=8, k=3, max_bucket=10_000):
+    """Independent pure-Python mirror of the full ngram_jaccard_pairs
+    chain (shingle → salted-md5 minhash windows → banded buckets →
+    candidate pairs → exact Jaccard on the shingle SETS). Differential
+    reference for the Spark implementation — including the 60-bit
+    hashed-set verify, whose values must equal raw-set Jaccard."""
+    import hashlib
+
+    sets, minhashes = {}, {}
+    n_digests = (num_hashes + 3) // 4
+    for d, t in docs.items():
+        w = t.split(" ")
+        sh = [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)] if len(w) >= k else []
+        ss = list(dict.fromkeys(sh))
+        sets[d] = set(ss)
+        if not ss:
+            continue
+        digests = [
+            [hashlib.md5(f"{dg}:{s}".encode()).hexdigest() for s in ss]
+            for dg in range(n_digests)
+        ]
+        minhashes[d] = [
+            min(h[8 * (i % 4):8 * (i % 4) + 8] for h in digests[i // 4])
+            for i in range(num_hashes)
+        ]
+    buckets = {}
+    for d, mh in minhashes.items():
+        for band, h in enumerate(mh):
+            buckets.setdefault(f"{band}|{h}", []).append(d)
+    cands = set()
+    for ds in buckets.values():
+        if len(ds) > max_bucket:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cands.add((ds[i], ds[j]))
+    out = []
+    for a, b in sorted(cands):
+        u = len(sets[a] | sets[b])
+        jac = len(sets[a] & sets[b]) / u if u else 0.0
+        if jac >= threshold:
+            out.append((a, b, round(jac, 6)))
+    return sorted(out)
+
+
+def test_ngram_jaccard_matches_python_reference(spark):
+    """Differential pin for the whole minhash/banding/verify pipeline:
+    a seeded corpus with planted near-dups must produce EXACTLY the
+    pairs and Jaccard values of an independent pure-Python replication
+    that verifies on RAW shingle sets — proving the Spark side's 60-bit
+    hashed-set verify changes no value and the banding is faithful."""
+    import random
+
+    from readabilitysax_spark.operators import dedup
+
+    rng = random.Random(20260817)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+             "eta", "theta", "iota", "kappa", "mu", "nu"]
+    docs = {}
+    for d in range(30):
+        docs[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+    base = list(docs.values())
+    for d in range(30, 42):  # planted near-dups: copy with 1 edit
+        src = base[rng.randrange(len(base))].split(" ")
+        if src and src[0]:
+            src[rng.randrange(len(src))] = rng.choice(vocab)
+        docs[d] = " ".join(src)
+
+    expected = _ref_jaccard_pairs(docs, threshold=0.2)
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    )
+    assert got == expected, (got[:5], expected[:5], len(got), len(expected))
