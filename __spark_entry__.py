@@ -696,21 +696,31 @@ def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three multimodal stages in one verified frame — features
-    (real PNG/WAV decode), resize (real nearest-neighbor downscale),
-    frame/sample extraction — joined on media_id. One query slot
-    instead of three because the driver's correctness gate checks at
-    most 50 queries (r03 cut exactly the 3 tail media queries); every
-    stage's values are still hash-checked column-by-column. All
-    outputs are analytic functions of doc_id (multimodal.py synthesis
-    sizing), so the DuckDB oracle predicts them exactly.
+    """All non-HTML document modalities in one verified frame —
+    features (real PNG/WAV decode), resize (real nearest-neighbor
+    downscale), frame/sample extraction, and PDF text extraction
+    (round 4: real content-stream parse with zlib /FlateDecode, the
+    "PDF/layout parse" leg of the north rule's extraction family) —
+    joined on media_id. One query slot instead of four because the
+    driver's correctness gate checks at most 50 queries (r03 cut
+    exactly the 3 tail media queries); every stage's values are still
+    hash-checked column-by-column. Image/audio/frame outputs are
+    analytic functions of doc_id (multimodal.py synthesis sizing); the
+    PDF stage round-trips documents.text through a deterministic
+    generated PDF (sources/pdfgen.py: 8-word lines, 5-line pages,
+    alternating Tj/TJ/' operators, alternate pages Flate-compressed),
+    so the DuckDB oracle predicts the extracted text — down to its
+    md5 — from the documents table alone.
 
-    At 100 TB the three stages run over one synth/scan of the media
-    table (shared input, three Arrow-batched mapInPandas passes); the
-    media_id equi-joins here exist only to pack the audit into one
+    At 100 TB the four stages run over one synth/scan of the media
+    table (shared input, Arrow-batched map passes, all zero-shuffle);
+    the media_id equi-joins here exist only to pack the audit into one
     row per asset.
     """
-    media = multimodal.synth_media_from_documents(read_documents(spark, sf_dir))
+    from readabilitysax_spark.operators import pdftext
+
+    docs = read_documents(spark, sf_dir)
+    media = multimodal.synth_media_from_documents(docs)
     feats = multimodal.extract_media_features(media).select(
         "media_id", "media_type", "n_bytes", "decode_ok", "width",
         "height", "sample_rate", "n_samples", "duration_s",
@@ -723,7 +733,18 @@ def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(media, every_n=100).select(
         "media_id", "frames_ok", "n_frames", "frame_bytes",
     )
-    return feats.join(resized, "media_id", "left").join(frames, "media_id", "left")
+    pdfs = pdftext.extract_pdf_text(pdftext.synthesize_pdfs(docs)).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("ok").alias("pdf_ok"),
+        F.col("n_pages").alias("n_pdf_pages"),
+        F.col("n_chars").alias("pdf_text_len"),
+        F.md5("text").alias("pdf_text_md5"),
+    )
+    return (
+        feats.join(resized, "media_id", "left")
+        .join(frames, "media_id", "left")
+        .join(pdfs, "media_id", "left")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1827,15 +1848,38 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    # PDF stage oracle: the generated PDF (sources/pdfgen.py) lays text
+    # out as 8-word lines / 5-line pages, so the extracted text is the
+    # words regrouped into 8-word lines joined by \n — recomputed here
+    # from documents.text alone and checked down to its md5
+    _media_pdf_sql = """
+        SELECT doc_id AS media_id,
+               TRUE AS pdf_ok,
+               CAST(ceil(len(w) / 40.0) AS INT) AS n_pdf_pages,
+               CAST(length(pdf_text) AS INT) AS pdf_text_len,
+               md5(pdf_text) AS pdf_text_md5
+        FROM (
+          SELECT doc_id, w,
+                 array_to_string(
+                   [array_to_string(w[i:i+7], ' ')
+                    for i in range(1, len(w) + 1, 8)],
+                   chr(10)) AS pdf_text
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+    """
+
     q["media_pipeline"] = f"""
         WITH feats AS ({_media_features_sql}),
         rs AS ({_media_resize_sql}),
-        fr AS ({_media_frames_sql})
+        fr AS ({_media_frames_sql}),
+        pdf AS ({_media_pdf_sql})
         SELECT feats.*, rs.resize_ok, rs.new_width, rs.new_height,
-               rs.resized_bytes, fr.frames_ok, fr.n_frames, fr.frame_bytes
+               rs.resized_bytes, fr.frames_ok, fr.n_frames, fr.frame_bytes,
+               pdf.pdf_ok, pdf.n_pdf_pages, pdf.pdf_text_len, pdf.pdf_text_md5
         FROM feats
         LEFT JOIN rs USING (media_id)
         LEFT JOIN fr USING (media_id)
+        LEFT JOIN pdf USING (media_id)
     """
 
     # -- hyperplane-LSH / IVF oracles: the planes and the Lloyd step are

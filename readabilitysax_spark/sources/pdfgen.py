@@ -1,0 +1,165 @@
+"""Deterministic minimal-PDF synthesis: the documents → pdfs bridge.
+
+The north rule's extraction family covers "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics"; this module provides the PDF leg's
+test substrate the same way ``sources/pagegen.py`` provides the HTML
+leg's: a deterministic generator whose output an ANSI-SQL oracle can
+predict from the ``documents`` table alone.
+
+``synth_pdf(doc_id, text)`` renders ``text`` as a well-formed PDF 1.4:
+
+- words are laid out **8 per line, 5 lines per page** (40 words/page,
+  at least one page even for empty text) — the layout the extractor
+  must reassemble;
+- line i of each page alternates the three text-showing operator forms
+  (``Tj``, ``TJ`` arrays with kerning numbers, ``'`` move-and-show) so
+  every decode path in ``operators/pdftext.py`` is exercised on every
+  page;
+- every second page's content stream is ``/FlateDecode`` compressed
+  (zlib — stdlib, REAL compression round-trip, not a stub);
+- strings escape ``( ) \\`` and non-ASCII bytes as octal, matching the
+  PDF string-literal grammar.
+
+The expected extraction is therefore a pure function of ``text``:
+words regrouped into 8-word lines joined by ``\\n``, pages joined by
+``\\n`` — expressible in DuckDB as a list comprehension over
+``string_split(text, ' ')`` (see the media_pipeline oracle).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+WORDS_PER_LINE = 8
+LINES_PER_PAGE = 5
+WORDS_PER_PAGE = WORDS_PER_LINE * LINES_PER_PAGE
+
+
+def _pdf_string(s: str) -> bytes:
+    """PDF literal string: escape specials, octal-escape non-latin1
+    printables (synthetic corpora are ASCII; the escape path is still
+    grammar-complete)."""
+    out = bytearray(b"(")
+    for ch in s:
+        b = ord(ch)
+        if ch in "()\\":
+            out += b"\\" + ch.encode("ascii")
+        elif 32 <= b <= 126:
+            out.append(b)
+        elif b <= 255:
+            out += ("\\%03o" % b).encode("ascii")
+        else:  # non-latin1: replace, disclosed limitation (no CID fonts)
+            out += b"?"
+    out += b")"
+    return bytes(out)
+
+
+def _page_lines(words: list[str], page: int) -> list[str]:
+    start = page * WORDS_PER_PAGE
+    chunk = words[start:start + WORDS_PER_PAGE]
+    return [
+        " ".join(chunk[i:i + WORDS_PER_LINE])
+        for i in range(0, len(chunk), WORDS_PER_LINE)
+    ]
+
+
+def _content_stream(lines: list[str]) -> bytes:
+    """BT … ET with the operator form rotating per line."""
+    # 14 TL sets the leading the ' operator consumes (real viewers
+    # need it; the extractor treats ' as line-advance regardless)
+    parts = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    for i, line in enumerate(lines):
+        if i > 0:
+            parts.append(b"0 -14 Td")
+        form = i % 3
+        if form == 0:
+            parts.append(_pdf_string(line) + b" Tj")
+        elif form == 1:
+            # TJ: split the line into two array elements with a kerning
+            # number between them; the kerning carries NO spacing
+            # semantics in our extractor (standard simple-extractor rule)
+            mid = max(len(line) // 2, 0)
+            parts.append(
+                b"[" + _pdf_string(line[:mid]) + b" -30 "
+                + _pdf_string(line[mid:]) + b"] TJ"
+            )
+        else:
+            # ' — move-to-next-line-and-show; REPLACES the 0 -14 Td we
+            # would otherwise emit, so strip it again
+            if parts[-1] == b"0 -14 Td":
+                parts.pop()
+            parts.append(_pdf_string(line) + b" '")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def synth_pdf(doc_id: int, text: str) -> bytes:
+    """Deterministic PDF bytes for one document."""
+    words = text.split(" ")
+    n_pages = max((len(words) + WORDS_PER_PAGE - 1) // WORDS_PER_PAGE, 1)
+
+    objects: list[bytes] = []  # 1-indexed object bodies (without N 0 obj)
+    page_obj_ids = []
+    content_obj_ids = []
+    # object layout: 1=Catalog, 2=Pages, 3=Font, then per page (page, content)
+    next_id = 4
+    for p in range(n_pages):
+        page_obj_ids.append(next_id)
+        content_obj_ids.append(next_id + 1)
+        next_id += 2
+
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    kids = b" ".join(b"%d 0 R" % i for i in page_obj_ids)
+    objects.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )  # 2
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )  # 3
+
+    for p in range(n_pages):
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % content_obj_ids[p]
+        )
+        stream = _content_stream(_page_lines(words, p))
+        if p % 2 == 1:  # alternate pages are Flate-compressed
+            comp = zlib.compress(stream)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp + b"\nendstream"
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n" % len(stream)
+                + stream + b"\nendstream"
+            )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def expected_pdf_text(text: str) -> str:
+    """The extraction the synthesized PDF must round-trip to: words in
+    8-word lines joined by newlines, pages joined by newlines (i.e.
+    ALL lines joined by "\\n" — page boundaries are line boundaries)."""
+    words = text.split(" ")
+    lines = [
+        " ".join(words[i:i + WORDS_PER_LINE])
+        for i in range(0, len(words), WORDS_PER_LINE)
+    ]
+    return "\n".join(lines)

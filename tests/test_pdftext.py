@@ -1,0 +1,143 @@
+"""PDF text extraction: round-trip, grammar, hostile input, Spark shape.
+
+The "PDF/layout parse" leg of the extraction family (north rule). The
+generator (sources/pdfgen.py) and extractor (operators/pdftext.py) are
+independent implementations meeting at the PDF 1.4 spec: the
+round-trip equality below is a differential test of both.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import pytest
+
+from readabilitysax_spark.operators.pdftext import (
+    extract_text_from_pdf,
+    _decode_string,
+)
+from readabilitysax_spark.sources.pdfgen import expected_pdf_text, synth_pdf
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "hello",
+        "a b c d e f g h",                        # exactly one line
+        " ".join(f"w{i}" for i in range(40)),     # exactly one page
+        " ".join(f"w{i}" for i in range(41)),     # page spill
+        " ".join(f"tok{i}" for i in range(100)),  # 3 pages, Flate middle
+        "par(en) back\\slash close)p",            # string escapes
+        "a  b   c",                               # empty words survive
+    ],
+)
+def test_round_trip(text):
+    got, n_pages = extract_text_from_pdf(synth_pdf(1, text))
+    assert got == expected_pdf_text(text)
+    assert n_pages == max(math.ceil(len(text.split(" ")) / 40), 1)
+
+
+def test_flate_pages_really_compressed():
+    """Alternate pages must actually go through zlib — assert the
+    compressed page's line is absent as plaintext but extracted."""
+    text = " ".join(f"zz{i}" for i in range(80))  # 2 pages
+    pdf = synth_pdf(1, text)
+    assert b"zz41" not in pdf  # page 2 content only exists compressed
+    assert b"/FlateDecode" in pdf
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert n_pages == 2 and "zz41" in got
+
+
+def test_string_grammar():
+    assert _decode_string(rb"a\(b\)c\\d") == "a(b)c\\d"
+    assert _decode_string(rb"\101\102\60") == "AB0"
+    assert _decode_string(rb"x\ny\tz") == "x\ny\tz"
+    assert _decode_string(b"cont\\\nnext") == "contnext"  # line continuation
+
+
+def test_hex_strings_and_td_linebreaks():
+    """Hand-written PDF exercising <hex> strings and Tm line breaks."""
+    content = b"BT <48656C6C6F> Tj 1 0 0 1 72 700 Tm (world) Tj ET"
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length %d >>\nstream\n%s\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%%%EOF\n" % (len(content), content)
+    )
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert (got, n_pages) == ("Hello\nworld", 1)
+
+
+def test_hostile_inputs_error_or_degrade():
+    with pytest.raises(ValueError):
+        extract_text_from_pdf(b"not a pdf")
+    with pytest.raises(ValueError):
+        extract_text_from_pdf(b"")
+    # corrupt /Length falls back to the endstream keyword
+    ok = synth_pdf(1, "x y z")
+    got, _ = extract_text_from_pdf(ok.replace(b"/Length", b"/Lxngth"))
+    assert got == "x y z"
+    # truncated mid-stream: degrades, never raises
+    extract_text_from_pdf(synth_pdf(1, "a b c d e")[:80])
+    # corrupt Flate payload: page skipped, others survive
+    text = " ".join(f"q{i}" for i in range(80))
+    pdf = bytearray(synth_pdf(1, text))
+    at = pdf.find(b"stream\n", pdf.find(b"/FlateDecode")) + 10
+    pdf[at] ^= 0xFF
+    got, n_pages = extract_text_from_pdf(bytes(pdf))
+    assert n_pages == 2 and "q0" in got
+
+
+def test_stream_bytes_cannot_fake_objects():
+    """Compressed bytes containing 'endobj'/'N 0 obj' patterns must not
+    derail the sequential cursor (the classic findall-scanner bug)."""
+    # craft a text whose compressed stream happens to contain 'endobj'
+    # by brute force over a salt word
+    for salt in range(5000):
+        text = " ".join(f"s{salt}w{i}" for i in range(60))
+        from readabilitysax_spark.sources.pdfgen import _content_stream, _page_lines
+        comp = zlib.compress(_content_stream(_page_lines(text.split(" "), 1)))
+        if b"endobj" in comp or b" 0 obj" in comp:
+            break
+    else:
+        pytest.skip("no adversarial compression found in search budget")
+    got, n_pages = extract_text_from_pdf(synth_pdf(1, text))
+    assert got == expected_pdf_text(text) and n_pages == 2
+
+
+def test_spark_pdf_extraction_map_only(spark):
+    """Spark surface: synthesize → extract is a zero-shuffle Arrow map
+    (same plan class as HTML extraction) and round-trips sf0.001."""
+    from pyspark.sql import functions as F
+
+    from readabilitysax_spark.operators import pdftext
+    from readabilitysax_spark.sources.pages import read_documents
+
+    from .conftest import SF_TINY
+
+    docs = read_documents(spark, SF_TINY)
+    out = pdftext.extract_pdf_text(pdftext.synthesize_pdfs(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    algo = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "roundrobinpartitioning" not in ln.lower()
+    ]
+    assert not algo, plan
+    joined = out.alias("o").join(
+        docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    )
+    bad = joined.where(
+        (~F.col("ok"))
+        | (F.col("text") != F.expr(
+            "array_join(transform("
+            "  sequence(0, int(ceil(size(split(orig, ' ')) / 8.0)) - 1),"
+            "  i -> array_join(slice(split(orig, ' '), i * 8 + 1, 8), ' ')"
+            "), '\\n')"
+        ))
+    ).count()
+    assert bad == 0
+    assert out.count() == docs.count()
