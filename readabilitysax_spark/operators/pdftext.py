@@ -166,7 +166,13 @@ def _tokenize_content(stream: bytes) -> Iterator[tuple[str, object]]:
             hx = re.sub(rb"[^0-9A-Fa-f]", b"", stream[i + 1:j])
             if len(hx) % 2:
                 hx += b"0"
-            t = emit("str", bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            raw = bytes.fromhex(hx.decode("ascii"))
+            # UTF-16BE BOM = the PDF text-string convention (ISO 32000
+            # §7.9.2.2); BOM-less hex strings decode as latin-1 bytes
+            if raw[:2] == b"\xfe\xff":
+                t = emit("str", raw[2:].decode("utf-16-be", "replace"))
+            else:
+                t = emit("str", raw.decode("latin-1"))
             i = j + 1
             if t:
                 yield t

@@ -17,8 +17,11 @@ predict from the ``documents`` table alone.
   page;
 - every second page's content stream is ``/FlateDecode`` compressed
   (zlib — stdlib, REAL compression round-trip, not a stub);
-- strings escape ``( ) \\`` and non-ASCII bytes as octal, matching the
-  PDF string-literal grammar.
+- latin-1 lines are literal strings escaping ``( ) \\`` and control
+  bytes as octal; lines with wider characters (CJK/Cyrillic/Arabic)
+  become ``<FEFF…>`` UTF-16BE-with-BOM hex strings (the PDF
+  text-string convention, ISO 32000 §7.9.2.2), so the round trip is
+  exact for all BMP text.
 
 The expected extraction is therefore a pure function of ``text``:
 words regrouped into 8-word lines joined by ``\\n``, pages joined by
@@ -36,9 +39,15 @@ WORDS_PER_PAGE = WORDS_PER_LINE * LINES_PER_PAGE
 
 
 def _pdf_string(s: str) -> bytes:
-    """PDF literal string: escape specials, octal-escape non-latin1
-    printables (synthetic corpora are ASCII; the escape path is still
-    grammar-complete)."""
+    """PDF string for a shown line: latin-1 text becomes a literal
+    ``(...)`` with specials escaped and control bytes octal-escaped;
+    anything wider becomes a ``<FEFF…>`` hex string in UTF-16BE with
+    BOM — the PDF *text-string* convention (ISO 32000 §7.9.2.2)
+    applied to show-strings, which is what keeps the round trip exact
+    for CJK/Cyrillic/Arabic without a CID font stack (the extractor
+    detects the BOM)."""
+    if any(ord(ch) > 255 for ch in s):
+        return b"<" + ("\ufeff" + s).encode("utf-16-be").hex().encode("ascii") + b">"
     out = bytearray(b"(")
     for ch in s:
         b = ord(ch)
@@ -46,10 +55,8 @@ def _pdf_string(s: str) -> bytes:
             out += b"\\" + ch.encode("ascii")
         elif 32 <= b <= 126:
             out.append(b)
-        elif b <= 255:
+        else:
             out += ("\\%03o" % b).encode("ascii")
-        else:  # non-latin1: replace, disclosed limitation (no CID fonts)
-            out += b"?"
     out += b")"
     return bytes(out)
 

@@ -31,6 +31,9 @@ from readabilitysax_spark.sources.pdfgen import expected_pdf_text, synth_pdf
         " ".join(f"tok{i}" for i in range(100)),  # 3 pages, Flate middle
         "par(en) back\\slash close)p",            # string escapes
         "a  b   c",                               # empty words survive
+        "漢字 文書 解析 器 の 試験",                 # CJK → UTF-16BE hex strings
+        "привет мир مرحبا بالعالم",               # Cyrillic + RTL Arabic
+        "café mixed 漢字 ascii " + " ".join(f"w{i}" for i in range(45)),
     ],
 )
 def test_round_trip(text):
