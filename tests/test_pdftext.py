@@ -144,3 +144,28 @@ def test_spark_pdf_extraction_map_only(spark):
     ).count()
     assert bad == 0
     assert out.count() == docs.count()
+
+
+def test_pdf_round_trip_fuzz():
+    """Property: synth→extract is the identity composed with the
+    8-word-line regrouping, for any space-free BMP words (the corpus
+    text contract: single-space separated, BMP, no markup)."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0xFFFF,
+            blacklist_categories=("Cs",),  # no lone surrogates
+        ),
+        min_size=1, max_size=6,
+    ).map(lambda s: s.replace(" ", "_"))
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(word, min_size=0, max_size=90))
+    def prop(words):
+        text = " ".join(words)
+        got, n_pages = extract_text_from_pdf(synth_pdf(1, text))
+        assert got == expected_pdf_text(text)
+        assert n_pages == max(math.ceil(len(text.split(" ")) / 40), 1)
+
+    prop()
