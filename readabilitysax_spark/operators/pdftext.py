@@ -225,9 +225,6 @@ def _tokenize_content(stream: bytes) -> Iterator[tuple[str, object]]:
             yield t
 
 
-_LINE_OPS = {"TD", "T*"}
-
-
 def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
     """(text, n_pages) from PDF bytes. Raises on hopeless input."""
     objs = _parse_objects(data)
@@ -253,13 +250,8 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
     n_pages = 0
     for refs in pages:
         n_pages += 1
-        pending: list[str] = []
-
-        def flush_line():
-            if pending:
-                out_lines.append("".join(pending))
-                pending.clear()
-
+        segments: list[tuple[float, float, int, str]] = []  # (x, y, seq, text)
+        seq = 0
         for ref in refs:
             if ref not in objs:
                 continue
@@ -271,6 +263,9 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
                     stream = zlib.decompress(stream)
                 except zlib.error:
                     continue
+            # text-positioning state (line-matrix translation + leading)
+            x = y = 0.0
+            leading = 0.0
             last_str: str | None = None
             nums: list[float] = []
             for kind, val in _tokenize_content(stream):
@@ -283,27 +278,71 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
                     last_str = "".join(v for k, v in val if k == "str")
                 elif kind == "op":
                     op = val
-                    if op == "Tj" and last_str is not None:
-                        pending.append(last_str)
-                    elif op == "TJ" and last_str is not None:
-                        pending.append(last_str)
+                    if op in ("Tj", "TJ") and last_str is not None:
+                        segments.append((x, y, seq, last_str))
+                        seq += 1
                     elif op in ("'", '"') and last_str is not None:
-                        flush_line()
-                        pending.append(last_str)
-                    elif op in _LINE_OPS:
-                        flush_line()
-                    elif op == "Td":
-                        # relative move: a y-advance is a line break
-                        if len(nums) >= 2 and nums[-1] != 0:
-                            flush_line()
-                    elif op == "Tm":
-                        flush_line()
-                    elif op == "ET":
-                        flush_line()
+                        y -= leading  # T* then show
+                        segments.append((x, y, seq, last_str))
+                        seq += 1
+                    elif op in ("Td", "TD") and len(nums) >= 2:
+                        x += nums[-2]
+                        y += nums[-1]
+                        if op == "TD":
+                            leading = -nums[-1]
+                    elif op == "T*":
+                        y -= leading
+                    elif op == "TL" and nums:
+                        leading = nums[-1]
+                    elif op == "Tm" and len(nums) >= 6:
+                        x, y = nums[-2], nums[-1]
+                    elif op == "BT":
+                        x = y = 0.0
                     last_str = None
                     nums.clear()
-        flush_line()
+        out_lines.extend(_assemble_page(segments))
     return "\n".join(out_lines), n_pages
+
+
+_COLUMN_GAP = 150.0  # pt of x whitespace that separates columns
+
+
+def _assemble_page(segments: list[tuple[float, float, int, str]]) -> list[str]:
+    """Positioned segments → reading-order lines, column-major.
+
+    Layout rule: cluster the segments' x positions into columns wherever
+    a gap exceeds ``_COLUMN_GAP`` (indents never reach it; a real column
+    gutter does), then within each column group segments into lines by
+    y and sort lines top-to-bottom. A two-column page DRAWN row-major
+    (c1r1, c2r1, c1r2, …) therefore extracts column-major — reading
+    order — which the emission-order flush of a naive extractor cannot
+    produce. Single-column pages form one cluster and reduce exactly to
+    emission order. Ties (same column, same y) keep draw order and
+    concatenate, matching PDF's contiguous show semantics."""
+    if not segments:
+        return []
+    xs = sorted({s[0] for s in segments})
+    col_starts = [xs[0]]
+    for a, b in zip(xs, xs[1:]):
+        if b - a > _COLUMN_GAP:
+            col_starts.append(b)
+
+    def col_of(xv: float) -> int:
+        c = 0
+        for i, start in enumerate(col_starts):
+            if xv >= start - 1e-6:
+                c = i
+        return c
+
+    lines: dict[tuple[int, float], list[tuple[int, str]]] = {}
+    for xv, yv, sq, txt in segments:
+        key = (col_of(xv), round(yv, 1))
+        lines.setdefault(key, []).append((sq, txt))
+    out = []
+    for col, yv in sorted(lines, key=lambda k: (k[0], -k[1])):
+        segs = sorted(lines[(col, yv)])
+        out.append("".join(t for _, t in segs))
+    return out
 
 
 PDF_TEXT_DDL = (

@@ -100,8 +100,33 @@ def _content_stream(lines: list[str]) -> bytes:
     return b"\n".join(parts)
 
 
-def synth_pdf(doc_id: int, text: str) -> bytes:
-    """Deterministic PDF bytes for one document."""
+def _content_stream_two_col(lines: list[str]) -> bytes:
+    """Two-column layout DRAWN ROW-MAJOR: the page's lines split into a
+    left column (x=72) and a right column (x=320), but the draw order
+    interleaves rows (c1r0, c2r0, c1r1, …) via absolute ``Tm`` jumps.
+    Reading order is column-major, so an extractor that replays
+    emission order produces shuffled text — only the x-cluster /
+    y-sort layout reassembly in ``operators/pdftext.py`` round-trips
+    this stream back to the original line order."""
+    parts = [b"BT", b"/F1 12 Tf"]
+    n1 = (len(lines) + 1) // 2
+    col1, col2 = lines[:n1], lines[n1:]
+    for r in range(max(len(col1), len(col2))):
+        y = 720 - 14 * r
+        if r < len(col1):
+            parts.append(b"1 0 0 1 72 %d Tm " % y + _pdf_string(col1[r]) + b" Tj")
+        if r < len(col2):
+            parts.append(b"1 0 0 1 320 %d Tm " % y + _pdf_string(col2[r]) + b" Tj")
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def synth_pdf(doc_id: int, text: str, columns: int = 1) -> bytes:
+    """Deterministic PDF bytes for one document. ``columns=2`` lays
+    every page out as a row-major-drawn two-column spread (see
+    ``_content_stream_two_col``); the expected extraction is IDENTICAL
+    to the single-column case — that invariance is the layout-parse
+    test."""
     words = text.split(" ")
     n_pages = max((len(words) + WORDS_PER_PAGE - 1) // WORDS_PER_PAGE, 1)
 
@@ -130,7 +155,11 @@ def synth_pdf(doc_id: int, text: str) -> bytes:
             b"/Resources << /Font << /F1 3 0 R >> >> "
             b"/Contents %d 0 R >>" % content_obj_ids[p]
         )
-        stream = _content_stream(_page_lines(words, p))
+        page_lines = _page_lines(words, p)
+        if columns == 2:
+            stream = _content_stream_two_col(page_lines)
+        else:
+            stream = _content_stream(page_lines)
         if p % 2 == 1:  # alternate pages are Flate-compressed
             comp = zlib.compress(stream)
             objects.append(
