@@ -598,9 +598,12 @@ def _q_training_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination → per-domain cap → exact-k holdout split — what
     actually feeds the tokenizer, holdout included. Every stage is an
     operator verified standalone above; this query pins that they
-    COMPOSE: joins stay broadcast/anti, the cap and the split are the
-    two WindowGroupLimit-able windows (domain-keyed top-n, lang-keyed
-    rank), and the corpus is scanned once per stage input."""
+    COMPOSE: joins stay broadcast/anti, the domain cap gets the
+    map-side WindowGroupLimit prune (domain-keyed top-n filter), the
+    holdout split's mark=True window is deliberately NON-filtering so
+    Catalyst cannot prune it (every row keeps its split label —
+    corpus.py discloses this), and the corpus is scanned once per
+    stage input."""
     docs = read_documents(spark, sf_dir)
     blocked = spark.createDataFrame(
         [(s,) for s in _BLOCKED_SOURCES], "source string"

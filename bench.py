@@ -444,7 +444,7 @@ def main() -> None:
         else "contended"
     )
 
-    print(json.dumps({
+    full = {
         "metric": "headline suite wall (extraction@4 parallelism levels + operator queries)",
         "value": total,
         "unit": "sec",
@@ -479,7 +479,41 @@ def main() -> None:
         "streaming": streaming,
         "reference_fixture": fixture,
         "skew_defusal": skew,
-    }))
+    }
+    # Full pretty snapshot → BENCH/bench_last_run.json. The driver only
+    # keeps a ~4 KB tail of stdout and parses the LAST line as JSON
+    # (round-4 VERDICT item 4: BENCH_r04 came back `parsed: null`
+    # because the single fat line overflowed that window), so stdout
+    # gets the full blob first (flushed), then a guaranteed-small
+    # compact core line LAST: required driver fields + scalar summary.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_last_run.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), flush=True)
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": full["sf"],
+        "summary": {
+            "host_tag": host_tag,
+            "docs_per_sec_32": high["docs_per_sec"],
+            "mb_per_sec_32": high["mb_per_sec"],
+            "scaling_eff_primary": primary_eff,
+            "scaling_eff_saturated": saturated_eff,
+            "scaling_eff_normalized": normalized,
+            "fixture_ms_per_page_1core": fixture.get("ms_per_page_1core"),
+            "streaming_docs_per_sec": streaming.get("docs_per_sec"),
+            "detail": "BENCH/bench_last_run.json",
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 3500:  # never let the last line outgrow the tail window
+        compact["queries"] = {"n": len(queries), "total_sec": round(sum(queries.values()), 2)}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -3,21 +3,30 @@ of the extraction family (north rule: "HTML boilerplate strip,
 PDF/layout parse, DOM heuristics").
 
 A REAL pure-stdlib extractor, not a stub: sequential object scan (no
-xref trust — robust to truncated/corrupt cross-reference tables),
-``/FlateDecode`` content streams inflated with ``zlib``, and a content
--stream tokenizer covering the text-showing operators ``Tj``, ``TJ``
-(array form with kerning numbers), ``'`` and ``"`` plus the
-line-advance operators ``Td``/``TD``/``T*``/``Tm``. PDF literal
+xref trust — robust to truncated/corrupt cross-reference tables), page
+order from the ``/Catalog → /Pages → /Kids`` tree (object-id fallback),
+``/FlateDecode`` content streams inflated with ``zlib``, a page's
+multiple ``/Contents`` streams concatenated before tokenizing (ISO
+32000 §7.7.3.3 persistent state), and a content-stream tokenizer
+covering the text-showing operators ``Tj``, ``TJ`` (array form with
+kerning numbers), ``'`` and ``"`` plus the line-advance operators
+``Td``/``TD``/``T*``/``Tm`` and font selection ``Tf``. PDF literal
 strings are unescaped per the string grammar (nested parens, ``\\n``
 ``\\r`` ``\\t`` ``\\b`` ``\\f`` ``\\( `` ``\\)`` ``\\\\``, octal
-escapes, line continuations); hex strings ``<...>`` are decoded as
-latin-1 bytes.
+escapes — unrecognized escapes like ``\\8`` keep the character, per
+spec — line continuations). Show-string decoding is font-aware:
+composite (CID) fonts with a ``/ToUnicode`` CMap (``bfchar`` +
+``bfrange`` scalar and array forms, resolved through page
+``/Resources`` with ``/Parent`` inheritance) decode fixed-width codes
+to unicode; simple fonts use the UTF-16BE-BOM text-string convention,
+else latin-1 bytes.
 
-Disclosed boundary (same class as every simple PDF extractor): no CID
-/composite fonts, no ToUnicode CMap remapping, no encrypted documents
-— such streams extract as their raw code bytes. The Spark surface is
-the point here: schema, Arrow batching, error-row semantics and
-partitioning all match ``operators/extract.py``.
+Disclosed boundary: no encrypted documents, no predictor-filtered or
+object streams (``/ObjStm``), and CID fonts WITHOUT a ToUnicode CMap
+(e.g. Identity-H relying on the font program's cmap table) extract as
+raw code bytes. The Spark surface is the point here: schema, Arrow
+batching, error-row semantics and partitioning all match
+``operators/extract.py``.
 
 Spark shape: ``extract_pdf_text`` is a zero-shuffle ``mapInArrow``
 projection, same as HTML extraction — at 100 TB it is map-only with
@@ -91,7 +100,14 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 
 
 def _decode_string(tok: bytes) -> str:
-    """PDF literal string body (without outer parens) → text."""
+    """PDF literal string body (without outer parens) → latin-1 text
+    (the no-font-info default; kept as the unit-testable grammar
+    surface — show-time decoding goes through ``_decode_shown``)."""
+    return _unescape_literal(tok).decode("latin-1")
+
+
+def _unescape_literal(tok: bytes) -> bytes:
+    """PDF literal string body (without outer parens) → raw bytes."""
     out = bytearray()
     i, n = 0, len(tok)
     while i < n:
@@ -118,16 +134,26 @@ def _decode_string(tok: bytes) -> str:
             j = i
             while j < n and j - i < 3 and 0x30 <= tok[j] <= 0x37:
                 j += 1
-            out.append(int(tok[i:j], 8) & 0xFF)
-            i = j
+            if j == i:  # \8 or \9: not octal — per ISO 32000 §7.3.4.2
+                # an unrecognized escape drops the backslash and keeps
+                # the character (was: int(b'', 8) → whole-doc error row)
+                out += c
+                i += 1
+            else:
+                out.append(int(tok[i:j], 8) & 0xFF)
+                i = j
         else:  # lone backslash: dropped, next char literal
             out += c
             i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
 def _tokenize_content(stream: bytes) -> Iterator[tuple[str, object]]:
-    """Yield ('str', text) | ('num', float) | ('op', name) | ('arr', list)."""
+    """Yield ('str', raw bytes) | ('num', float) | ('op', name) |
+    ('name', name) | ('arr', list). Strings stay RAW here — decoding
+    depends on the currently-selected font (a CID font's ToUnicode
+    CMap vs the latin-1 / UTF-16BE-BOM simple-font default), which
+    only the extraction loop tracks (via Tf)."""
     i, n = 0, len(stream)
     arr_stack: list[list] = []
 
@@ -156,7 +182,7 @@ def _tokenize_content(stream: bytes) -> Iterator[tuple[str, object]]:
                 j += 1
             tok = stream[i + 1:j - 1]
             i = j
-            t = emit("str", _decode_string(tok))
+            t = emit("str", _unescape_literal(tok))
             if t:
                 yield t
             continue
@@ -166,13 +192,7 @@ def _tokenize_content(stream: bytes) -> Iterator[tuple[str, object]]:
             hx = re.sub(rb"[^0-9A-Fa-f]", b"", stream[i + 1:j])
             if len(hx) % 2:
                 hx += b"0"
-            raw = bytes.fromhex(hx.decode("ascii"))
-            # UTF-16BE BOM = the PDF text-string convention (ISO 32000
-            # §7.9.2.2); BOM-less hex strings decode as latin-1 bytes
-            if raw[:2] == b"\xfe\xff":
-                t = emit("str", raw[2:].decode("utf-16-be", "replace"))
-            else:
-                t = emit("str", raw.decode("latin-1"))
+            t = emit("str", bytes.fromhex(hx.decode("ascii")))
             i = j + 1
             if t:
                 yield t
@@ -201,11 +221,14 @@ def _tokenize_content(stream: bytes) -> Iterator[tuple[str, object]]:
             if t:
                 yield t
             continue
-        if b == 0x2F:  # /Name
+        if b == 0x2F:  # /Name — surfaced so Tf can track font selection
             j = i + 1
             while j < n and stream[j] not in _WS and stream[j] not in _DELIM:
                 j += 1
+            t = emit("name", stream[i + 1:j].decode("latin-1", "replace"))
             i = j
+            if t:
+                yield t
             continue
         if b == 0x25:  # % comment to EOL
             j = stream.find(b"\n", i)
@@ -225,33 +248,244 @@ def _tokenize_content(stream: bytes) -> Iterator[tuple[str, object]]:
             yield t
 
 
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_MAX_BFRANGE = 1 << 16  # hostile-input cap on one range's expansion
+
+
+def _utf16be_hex_to_str(hx: bytes) -> str:
+    if len(hx) % 4:
+        hx = hx + b"0" * (4 - len(hx) % 4)
+    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(stream: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream → (code → unicode string, code byte width).
+
+    Covers the CMap subset real producers emit (ISO 32000 §9.10.3 /
+    Adobe CMap spec): ``begincodespacerange`` (code width),
+    ``beginbfchar`` pairs ``<src> <dst>``, and ``beginbfrange`` in both
+    the scalar form ``<lo> <hi> <dstStart>`` (dst increments with the
+    code) and the array form ``<lo> <hi> [<d0> <d1> …]``. dst hex is
+    UTF-16BE (may map one code to a multi-code-unit string). Range
+    expansion is capped at 2^16 codes per entry (hostile input)."""
+    cmap: dict[int, str] = {}
+    width = 2
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", stream)
+    if m is not None:
+        width = max(len(m.group(1)) // 2, 1)
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", stream, re.S):
+        toks = [t[0] for t in _HEXTOK_RE.findall(sec) if t[0]]
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _utf16be_hex_to_str(dst)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", stream, re.S):
+        toks = _HEXTOK_RE.findall(sec)
+        i = 0
+        while i + 1 < len(toks):
+            if not (toks[i][0] and toks[i + 1][0]):
+                i += 1
+                continue
+            lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
+            hi = min(hi, lo + _MAX_BFRANGE)
+            i += 2
+            if i < len(toks) and toks[i][1]:  # array form
+                i += 1
+                code = lo
+                while i < len(toks) and not toks[i][2]:
+                    if toks[i][0] and code <= hi:
+                        cmap[code] = _utf16be_hex_to_str(toks[i][0])
+                        code += 1
+                    i += 1
+                i += 1  # past ]
+            elif i < len(toks) and toks[i][0]:  # scalar form
+                dst = toks[i][0]
+                base = int(dst, 16)
+                nhex = len(dst)
+                for off in range(hi - lo + 1):
+                    hx = ("%0*X" % (nhex, base + off)).encode("ascii")
+                    cmap[lo + off] = _utf16be_hex_to_str(hx)
+                i += 1
+            else:
+                break
+    return cmap, width
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes | None:
+    """``<< … >>`` slice starting at ``start`` (balanced nesting)."""
+    if data[start:start + 2] != b"<<":
+        return None
+    depth, j, n = 1, start + 2, len(data)
+    while j < n - 1 and depth:
+        if data[j:j + 2] == b"<<":
+            depth += 1
+            j += 2
+        elif data[j:j + 2] == b">>":
+            depth -= 1
+            j += 2
+        else:
+            j += 1
+    return data[start:j]
+
+
+def _dict_value(body: bytes, key: bytes,
+                objs: dict[int, tuple[bytes, bytes | None]]) -> bytes | None:
+    """Value of ``/key`` in ``body``: an inline ``<<…>>`` dict slice, or
+    the referenced object's body for the ``N 0 R`` form."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if m is None:
+        return None
+    at = m.end()
+    if body[at:at + 2] == b"<<":
+        return _balanced_dict(body, at)
+    rm = re.match(rb"(\d+)\s+\d+\s+R", body[at:at + 32])
+    if rm is not None:
+        ref = int(rm.group(1))
+        if ref in objs:
+            return objs[ref][0]
+    return None
+
+
+def _page_fonts(
+    page_body: bytes, objs: dict[int, tuple[bytes, bytes | None]]
+) -> dict[str, tuple[dict[int, str], int]]:
+    """Font-name → (ToUnicode cmap, code width) for a page.
+
+    /Resources is looked up on the page, then up the /Parent chain
+    (resource inheritance, ISO 32000 §7.7.3.4). Only fonts WITH a
+    /ToUnicode CMap are returned — simple fonts fall through to the
+    latin-1 / UTF-16BE-BOM default in ``_decode_shown``."""
+    body, hops = page_body, 0
+    res = None
+    seen_parents: set[int] = set()
+    while body is not None and hops < 32:
+        res = _dict_value(body, b"Resources", objs)
+        if res is not None:
+            break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
+        if pm is None:
+            break
+        parent = int(pm.group(1))
+        if parent in seen_parents or parent not in objs:
+            break
+        seen_parents.add(parent)
+        body = objs[parent][0]
+        hops += 1
+    if res is None:
+        return {}
+    fdict = _dict_value(res, b"Font", objs)
+    if fdict is None:
+        return {}
+    fonts: dict[str, tuple[dict[int, str], int]] = {}
+    for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
+        name = fm.group(1).decode("latin-1", "replace")
+        ref = int(fm.group(2))
+        if ref not in objs:
+            continue
+        fbody, _ = objs[ref]
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if tm is None:
+            continue
+        tref = int(tm.group(1))
+        if tref not in objs:
+            continue
+        thead, tstream = objs[tref]
+        if tstream is None:
+            continue
+        if _FLATE_RE.search(thead):
+            try:
+                tstream = zlib.decompress(tstream)
+            except zlib.error:
+                continue
+        fonts[name] = _parse_tounicode(tstream)
+    return fonts
+
+
+def _decode_shown(raw: bytes, font: tuple[dict[int, str], int] | None) -> str:
+    """Shown string bytes → text under the current font.
+
+    CID font (has a ToUnicode CMap): fixed-width codes looked up in the
+    cmap, unmapped codes → U+FFFD. Simple font / no font info: the
+    UTF-16BE-BOM text-string convention (ISO 32000 §7.9.2.2), else
+    latin-1 bytes — the pre-CID behavior, unchanged."""
+    if font is not None:
+        cmap, w = font
+        return "".join(
+            cmap.get(int.from_bytes(raw[k:k + w], "big"), "�")
+            for k in range(0, len(raw) - w + 1, w)
+        )
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
+def _page_object_order(objs: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+    """Document page order: walk /Catalog → /Pages → /Kids depth-first
+    (ISO 32000 §7.7.3.2 — the /Kids ARRAY defines page sequence, not
+    object numbering), falling back to ascending object id when the
+    tree is absent or broken (round-4 ADVICE: producers are free to
+    number page objects out of document order)."""
+    by_scan = [oid for oid in sorted(objs) if _PAGE_RE.search(objs[oid][0])]
+    root = None
+    for body, _ in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
+            if m:
+                root = int(m.group(1))
+                break
+    if root is None:
+        return by_scan
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def walk(oid: int) -> None:
+        if oid in seen or oid not in objs or len(seen) > len(objs):
+            return  # cycle / dangling-ref guard
+        seen.add(oid)
+        body, _ = objs[oid]
+        if _PAGE_RE.search(body):
+            order.append(oid)
+            return
+        km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+        if km is not None:
+            for r in _REF_RE.finditer(km.group(1)):
+                walk(int(r.group(1)))
+
+    walk(root)
+    # the tree must account for every scanned page; a partial tree
+    # (orphaned pages, truncated /Kids) falls back to the scan order
+    return order if order and set(order) == set(by_scan) else by_scan
+
+
 def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
     """(text, n_pages) from PDF bytes. Raises on hopeless input."""
     objs = _parse_objects(data)
     if not objs:
         raise ValueError("no PDF objects")
     pages = []
-    for oid in sorted(objs):
+    for oid in _page_object_order(objs):
         body, _ = objs[oid]
-        if _PAGE_RE.search(body):
-            cm = _CONTENTS_RE.search(body)
-            if cm is None:
-                pages.append([])
-                continue
-            if cm.group(1) is not None:
-                refs = [int(cm.group(1))]
-            else:
-                refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))]
-            pages.append(refs)
+        cm = _CONTENTS_RE.search(body)
+        if cm is None:
+            pages.append(([], {}))
+            continue
+        if cm.group(1) is not None:
+            refs = [int(cm.group(1))]
+        else:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))]
+        pages.append((refs, _page_fonts(body, objs)))
     if not pages:
         raise ValueError("no /Type /Page objects")
 
     out_lines: list[str] = []
     n_pages = 0
-    for refs in pages:
+    for refs, fonts in pages:
         n_pages += 1
         segments: list[tuple[float, float, int, str]] = []  # (x, y, seq, text)
         seq = 0
+        # ISO 32000 §7.7.3.3: a page's multiple /Contents streams form
+        # ONE concatenated content stream with persistent graphics/text
+        # state — decode each, join, tokenize once (round-4 ADVICE:
+        # per-ref state reset mis-assembled split-stream pages)
+        parts: list[bytes] = []
         for ref in refs:
             if ref not in objs:
                 continue
@@ -263,19 +497,31 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
                     stream = zlib.decompress(stream)
                 except zlib.error:
                     continue
+            parts.append(stream)
+        if parts:
+            content = b"\n".join(parts)
             # text-positioning state (line-matrix translation + leading)
+            # + current font (Tf selects which decoding the shows use)
             x = y = 0.0
             leading = 0.0
+            cur_font: tuple[dict[int, str], int] | None = None
+            last_name: str | None = None
             last_str: str | None = None
             nums: list[float] = []
-            for kind, val in _tokenize_content(stream):
+            for kind, val in _tokenize_content(content):
                 if kind == "str":
-                    last_str = val
+                    last_str = _decode_shown(val, cur_font)
                 elif kind == "num":
                     nums.append(val)
                     continue
+                elif kind == "name":
+                    last_name = val
+                    continue
                 elif kind == "arr":
-                    last_str = "".join(v for k, v in val if k == "str")
+                    last_str = "".join(
+                        _decode_shown(v, cur_font)
+                        for k, v in val if k == "str"
+                    )
                 elif kind == "op":
                     op = val
                     if op in ("Tj", "TJ") and last_str is not None:
@@ -285,6 +531,8 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
                         y -= leading  # T* then show
                         segments.append((x, y, seq, last_str))
                         seq += 1
+                    elif op == "Tf" and last_name is not None:
+                        cur_font = fonts.get(last_name)
                     elif op in ("Td", "TD") and len(nums) >= 2:
                         x += nums[-2]
                         y += nums[-1]
@@ -402,7 +650,15 @@ def extract_pdf_text(pdfs: DataFrame) -> DataFrame:
 
 def synthesize_pdfs(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, …) → (doc_id, pdf binary), deterministic
-    (sources/pdfgen.py) — the PDF analog of ``synthesize_pages``."""
+    (sources/pdfgen.py) — the PDF analog of ``synthesize_pages``.
+
+    Producer variety rotates by doc_id so the downstream extractor is
+    hash-exercised on every decode path at driver time: doc_id%3==1 →
+    Type0/Identity-H CID font with a ToUnicode CMap (2-byte codes ≠
+    codepoints), doc_id%3==2 → two-column row-major-drawn layout,
+    else the simple single-column form. Extracted text is IDENTICAL
+    across the three (``expected_pdf_text``), so the oracle SQL is
+    unchanged — the variety only widens what a hash match proves."""
     from ..sources.pdfgen import synth_pdf
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -413,7 +669,14 @@ def synthesize_pdfs(documents: DataFrame) -> DataFrame:
                 [
                     pa.array(ids, pa.int64()),
                     pa.array(
-                        [synth_pdf(i, t) for i, t in zip(ids, texts)],
+                        [
+                            synth_pdf(
+                                i, t,
+                                columns=2 if i % 3 == 2 else 1,
+                                cid=i % 3 == 1,
+                            )
+                            for i, t in zip(ids, texts)
+                        ],
                         pa.binary(),
                     ),
                 ],

@@ -61,6 +61,55 @@ def _pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
+def _cid_codes(text: str) -> dict[str, int]:
+    """Deterministic char → 2-byte CID code table for a document: the
+    text's unique characters in codepoint order get codes 1..N. The
+    codes deliberately do NOT equal the codepoints — extraction is only
+    correct if the ToUnicode CMap is actually consulted."""
+    return {ch: i + 1 for i, ch in enumerate(sorted(set(text or " ")))}
+
+
+def _cid_string(s: str, codes: dict[str, int]) -> bytes:
+    """Show-string under the CID font: hex string of 2-byte codes."""
+    return b"<" + b"".join(b"%04X" % codes[ch] for ch in s) + b">"
+
+
+def _tounicode_cmap(codes: dict[str, int]) -> bytes:
+    """ToUnicode CMap stream: 2-byte codespace, the first few mappings
+    as ``bfchar`` pairs, the rest as ARRAY-form ``bfrange`` chunks —
+    so both extractor paths are exercised by every CID document (the
+    scalar bfrange form is pinned by a handcrafted unit test)."""
+    items = sorted(codes.items(), key=lambda kv: kv[1])  # by code
+    n_char = min(4, len(items))
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    if n_char:
+        parts.append(b"%d beginbfchar\n" % n_char)
+        for ch, code in items[:n_char]:
+            parts.append(
+                b"<%04X> <%s>\n"
+                % (code, ch.encode("utf-16-be").hex().upper().encode("ascii"))
+            )
+        parts.append(b"endbfchar\n")
+    rest = items[n_char:]
+    for at in range(0, len(rest), 16):
+        chunk = rest[at:at + 16]
+        parts.append(
+            b"1 beginbfrange\n<%04X> <%04X> ["
+            % (chunk[0][1], chunk[-1][1])
+        )
+        parts.append(b" ".join(
+            b"<%s>" % ch.encode("utf-16-be").hex().upper().encode("ascii")
+            for ch, _ in chunk
+        ))
+        parts.append(b"]\nendbfrange\n")
+    parts.append(b"endcmap\nend\n")
+    return b"".join(parts)
+
+
 def _page_lines(words: list[str], page: int) -> list[str]:
     start = page * WORDS_PER_PAGE
     chunk = words[start:start + WORDS_PER_PAGE]
@@ -70,37 +119,37 @@ def _page_lines(words: list[str], page: int) -> list[str]:
     ]
 
 
-def _content_stream(lines: list[str]) -> bytes:
+def _content_stream(lines: list[str], enc=_pdf_string, font=b"F1") -> bytes:
     """BT … ET with the operator form rotating per line."""
     # 14 TL sets the leading the ' operator consumes (real viewers
     # need it; the extractor treats ' as line-advance regardless)
-    parts = [b"BT", b"/F1 12 Tf", b"14 TL", b"72 720 Td"]
+    parts = [b"BT", b"/" + font + b" 12 Tf", b"14 TL", b"72 720 Td"]
     for i, line in enumerate(lines):
         if i > 0:
             parts.append(b"0 -14 Td")
         form = i % 3
         if form == 0:
-            parts.append(_pdf_string(line) + b" Tj")
+            parts.append(enc(line) + b" Tj")
         elif form == 1:
             # TJ: split the line into two array elements with a kerning
             # number between them; the kerning carries NO spacing
             # semantics in our extractor (standard simple-extractor rule)
             mid = max(len(line) // 2, 0)
             parts.append(
-                b"[" + _pdf_string(line[:mid]) + b" -30 "
-                + _pdf_string(line[mid:]) + b"] TJ"
+                b"[" + enc(line[:mid]) + b" -30 "
+                + enc(line[mid:]) + b"] TJ"
             )
         else:
             # ' — move-to-next-line-and-show; REPLACES the 0 -14 Td we
             # would otherwise emit, so strip it again
             if parts[-1] == b"0 -14 Td":
                 parts.pop()
-            parts.append(_pdf_string(line) + b" '")
+            parts.append(enc(line) + b" '")
     parts.append(b"ET")
     return b"\n".join(parts)
 
 
-def _content_stream_two_col(lines: list[str]) -> bytes:
+def _content_stream_two_col(lines: list[str], enc=_pdf_string, font=b"F1") -> bytes:
     """Two-column layout DRAWN ROW-MAJOR: the page's lines split into a
     left column (x=72) and a right column (x=320), but the draw order
     interleaves rows (c1r0, c2r0, c1r1, …) via absolute ``Tm`` jumps.
@@ -108,33 +157,38 @@ def _content_stream_two_col(lines: list[str]) -> bytes:
     emission order produces shuffled text — only the x-cluster /
     y-sort layout reassembly in ``operators/pdftext.py`` round-trips
     this stream back to the original line order."""
-    parts = [b"BT", b"/F1 12 Tf"]
+    parts = [b"BT", b"/" + font + b" 12 Tf"]
     n1 = (len(lines) + 1) // 2
     col1, col2 = lines[:n1], lines[n1:]
     for r in range(max(len(col1), len(col2))):
         y = 720 - 14 * r
         if r < len(col1):
-            parts.append(b"1 0 0 1 72 %d Tm " % y + _pdf_string(col1[r]) + b" Tj")
+            parts.append(b"1 0 0 1 72 %d Tm " % y + enc(col1[r]) + b" Tj")
         if r < len(col2):
-            parts.append(b"1 0 0 1 320 %d Tm " % y + _pdf_string(col2[r]) + b" Tj")
+            parts.append(b"1 0 0 1 320 %d Tm " % y + enc(col2[r]) + b" Tj")
     parts.append(b"ET")
     return b"\n".join(parts)
 
 
-def synth_pdf(doc_id: int, text: str, columns: int = 1) -> bytes:
+def synth_pdf(doc_id: int, text: str, columns: int = 1, cid: bool = False) -> bytes:
     """Deterministic PDF bytes for one document. ``columns=2`` lays
     every page out as a row-major-drawn two-column spread (see
-    ``_content_stream_two_col``); the expected extraction is IDENTICAL
-    to the single-column case — that invariance is the layout-parse
-    test."""
+    ``_content_stream_two_col``); ``cid=True`` shows every string under
+    a Type0 /Identity-H composite font as 2-byte CID codes that do NOT
+    equal the codepoints, with a /ToUnicode CMap (bfchar + array-form
+    bfrange; Flate-compressed on odd doc_ids) carrying the real
+    mapping. In every mode the expected extraction is IDENTICAL
+    (``expected_pdf_text``) — that invariance is the layout-parse /
+    font-decode test."""
     words = text.split(" ")
     n_pages = max((len(words) + WORDS_PER_PAGE - 1) // WORDS_PER_PAGE, 1)
 
     objects: list[bytes] = []  # 1-indexed object bodies (without N 0 obj)
     page_obj_ids = []
     content_obj_ids = []
-    # object layout: 1=Catalog, 2=Pages, 3=Font, then per page (page, content)
-    next_id = 4
+    # object layout: 1=Catalog, 2=Pages, 3=Font[, 4=ToUnicode, 5=CID
+    # font], then per page (page, content)
+    next_id = 6 if cid else 4
     for p in range(n_pages):
         page_obj_ids.append(next_id)
         content_obj_ids.append(next_id + 1)
@@ -149,17 +203,43 @@ def synth_pdf(doc_id: int, text: str, columns: int = 1) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )  # 3
 
+    codes = _cid_codes(text) if cid else None
+    if cid:
+        cmap = _tounicode_cmap(codes)
+        if doc_id % 2 == 1:
+            comp = zlib.compress(cmap)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp + b"\nendstream"
+            )  # 4
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n" % len(cmap)
+                + cmap + b"\nendstream"
+            )  # 4
+        objects.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding /Identity-H /ToUnicode 4 0 R >>"
+        )  # 5
+
+    if cid:
+        enc, font = (lambda s: _cid_string(s, codes)), b"F2"
+        font_res = b"/F1 3 0 R /F2 5 0 R"
+    else:
+        enc, font = _pdf_string, b"F1"
+        font_res = b"/F1 3 0 R"
+
     for p in range(n_pages):
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Resources << /Font << " + font_res + b" >> >> "
             b"/Contents %d 0 R >>" % content_obj_ids[p]
         )
         page_lines = _page_lines(words, p)
         if columns == 2:
-            stream = _content_stream_two_col(page_lines)
+            stream = _content_stream_two_col(page_lines, enc, font)
         else:
-            stream = _content_stream(page_lines)
+            stream = _content_stream(page_lines, enc, font)
         if p % 2 == 1:  # alternate pages are Flate-compressed
             comp = zlib.compress(stream)
             objects.append(

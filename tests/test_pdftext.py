@@ -203,6 +203,161 @@ def test_two_column_layout_reassembly(text):
         assert shown, "expected visible show operators"
 
 
+@pytest.mark.parametrize("doc_id", [1, 2])  # odd = Flate-compressed CMap
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello world",
+        "漢字 文書 解析 器 の 試験 plus latin words",
+        " ".join(f"w{i}" for i in range(100)),  # 3 pages
+        "par(en) back\\slash",
+    ],
+)
+def test_cid_tounicode_round_trip(doc_id, text):
+    """CID mode shows 2-byte codes that deliberately differ from the
+    codepoints — extraction is only correct if the /ToUnicode CMap
+    (bfchar + array bfrange; resolved through /Resources, possibly
+    Flate-compressed) is actually consulted."""
+    pdf = synth_pdf(doc_id, text, cid=True)
+    # the raw text must NOT appear in the document (codes ≠ codepoints)
+    probe = text.split(" ")[0].encode("latin-1", "ignore")
+    if len(probe) >= 2:
+        assert probe not in pdf
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert got == expected_pdf_text(text)
+    assert n_pages == max(math.ceil(len(text.split(" ")) / 40), 1)
+
+
+def test_cid_two_column_composition():
+    """CID decode and two-column layout reassembly compose."""
+    text = " ".join(f"w{i}" for i in range(40))
+    got, _ = extract_text_from_pdf(synth_pdf(1, text, columns=2, cid=True))
+    assert got == expected_pdf_text(text)
+
+
+def _wrap_pdf(objects: list[bytes]) -> bytes:
+    """1-indexed bodies → minimal PDF (no xref — the scanner never
+    trusts one anyway)."""
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objects, start=1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_scalar_bfrange_form():
+    """The <lo> <hi> <dstStart> bfrange form: dst increments with the
+    code (generator only emits bfchar/array-bfrange, so this pins the
+    third CMap path by hand)."""
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange\n<0041> <0045> <0061>\nendbfrange\n"  # A-E -> a-e
+    )
+    content = b"BT /F1 12 Tf 72 720 Td <00410042004300440045> Tj ET"
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ])
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert (got, n_pages) == ("abcde", 1)
+
+
+def test_unmapped_cid_code_is_replacement_char():
+    cmap = b"1 beginbfchar\n<0001> <0058>\nendbfchar\n"  # only 1 -> X
+    content = b"BT /F1 12 Tf 72 720 Td <00010002> Tj ET"
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ])
+    got, _ = extract_text_from_pdf(pdf)
+    assert got == "X�"
+
+
+def test_kids_array_defines_page_order():
+    """Pages numbered OUT of document order: /Kids [5, 3] must win over
+    ascending object ids (round-4 ADVICE)."""
+    c1 = b"BT 72 720 Td (second) Tj ET"  # object 4, page object 3
+    c2 = b"BT 72 720 Td (first) Tj ET"   # object 6, page object 5
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2),
+    ])
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert (got, n_pages) == ("first\nsecond", 2)
+
+
+def test_broken_page_tree_falls_back_to_id_order():
+    """A /Kids array that misses a scanned page → ascending-id order."""
+    c1 = b"BT 72 720 Td (one) Tj ET"
+    c2 = b"BT 72 720 Td (two) Tj ET"
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",  # forgets page 5
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2),
+    ])
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert (got, n_pages) == ("one\ntwo", 2)
+
+
+def test_split_contents_streams_share_state():
+    """/Contents [A B]: text state persists across the split (ISO 32000
+    treats them as one concatenated stream) — B's T* must consume the
+    leading set in A, and B's Td is relative to A's position."""
+    a = b"BT /F1 12 Tf 14 TL 72 720 Td (alpha) Tj"
+    b_ = b"T* (beta) Tj 0 -14 Td (gamma) Tj ET"
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(a), a),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(b_), b_),
+    ])
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert (got, n_pages) == ("alpha\nbeta\ngamma", 1)
+
+
+def test_invalid_octal_escape_keeps_char():
+    r"""\8 and \9 are not octal: the backslash drops, the digit stays
+    (round-4 ADVICE — was a whole-document ValueError)."""
+    assert _decode_string(rb"a\8b\9c") == "a8b9c"
+    assert _decode_string(rb"\101\8") == "A8"
+
+
+def test_resources_inherited_from_parent():
+    """/Resources on the /Pages parent node, not the page (ISO 32000
+    §7.7.3.4 inheritance)."""
+    cmap = b"1 beginbfchar\n<0007> <0059>\nendbfchar\n"
+    content = b"BT /F1 12 Tf 72 720 Td <0007> Tj ET"
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ])
+    got, _ = extract_text_from_pdf(pdf)
+    assert got == "Y"
+
+
 def test_single_column_unaffected_by_layout_rule():
     """Indented lines (small x offsets) must NOT be split into columns:
     only a gutter-sized gap (>150pt) forms a column boundary."""
