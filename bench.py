@@ -345,24 +345,22 @@ def bench_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict]:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
     ivf_index = {}
+    # the build/search split IS the measurement for the IVF family:
+    # the index build (Lloyd training + one full-corpus assignment) is
+    # a one-time offline cost amortized over every query against it —
+    # so it's built and priced ONCE here, before the loop, and every
+    # IVF query's wall is its steady-state cost against the warm index
+    # (round-4 VERDICT item 1: the cold build used to land in whichever
+    # IVF query the dict ordered first, 10×-inflating its number).
+    t0 = time.perf_counter()
+    entry._ivf_index(spark, sf_dir)  # build + materialize
+    ivf_index["build_sec"] = round(time.perf_counter() - t0, 3)
     for name, fn in entry.queries().items():
-        if name == "similarity_ivf_prebuilt_topk":
-            # the build/search split IS the measurement here: the index
-            # build (Lloyd training + one full-corpus assignment) is a
-            # one-time offline cost, amortized over every query against
-            # it — so it's timed separately and the steady-state search
-            # wall is the query's number.
-            t0 = time.perf_counter()
-            entry._ivf_index(spark, sf_dir)  # build + materialize
-            ivf_index["build_sec"] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()  # search over the prebuilt index
-            timings[name] = round(time.perf_counter() - t0, 3)
-            ivf_index["search_sec"] = timings[name]
-            continue
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "similarity_ivf_prebuilt_topk":
+            ivf_index["search_sec"] = timings[name]
     spark.stop()
     return timings, ivf_index
 

@@ -269,6 +269,83 @@ def ivf_search(
     )
 
 
+def ivf_search_panel(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: dict[int, list[float]],
+    probe_levels: tuple[int, ...] = (1, 2, 4),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF search: a panel of queries × probe levels in ONE
+    scan of the assignment table (round-4 VERDICT item 1 — the
+    per-(query,probe) ``ivf_search`` loop unioned 12 independent scans).
+
+    Driver side picks each query's probed lists (tiny loop over the
+    broadcast centroid list, same as ``ivf_search``); the panel becomes
+    a broadcast table keyed by ``list_id`` carrying, per (query, list),
+    the probe LEVELS that include that list (probe sets are nested —
+    rank r is in every level > r), so each corpus row's cosine against
+    a query is computed ONCE and fanned out to its levels by an
+    explode. Ranking is a (query_id, n_probe)-partitioned row_number
+    ≤ k — the map-side WindowGroupLimit prune, skew-safe.
+
+    Returns (query_id, n_probe, vec_id, cosine) — row-for-row
+    identical to a per-(query,probe) ``ivf_search`` union (same cosine
+    rounding, same (cosine desc, id) tiebreak)."""
+    from pyspark.sql import Window
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    max_probe = max(probe_levels)
+    rows = []
+    for qid, qv in queries.items():
+        order = sorted(
+            range(len(centroids)),
+            key=lambda i: (-cos_py(qv, centroids[i]), i),
+        )
+        for rank, li in enumerate(order[:max_probe]):
+            rows.append((
+                int(qid), int(li),
+                [int(p) for p in probe_levels if rank < p],
+                [float(v) for v in qv],
+            ))
+    spark = assigned.sparkSession
+    panel = spark.createDataFrame(
+        rows,
+        "query_id bigint, list_id int, probe_levels array<int>, "
+        "qv array<float>",
+    )
+    scored = (
+        assigned.join(F.broadcast(panel), "list_id")
+        .select(
+            "query_id",
+            "probe_levels",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("cosine"),
+        )
+        .select(
+            "query_id",
+            F.explode("probe_levels").alias("n_probe"),
+            id_col,
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id", "n_probe").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "n_probe", id_col, "cosine")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -303,3 +303,52 @@ def test_ivf_recall_no_query_time_assign(spark):
     plan = _plan(entry.queries()["similarity_ivf_recall"](spark, SF_TINY))
     assert "array_max" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_recall_search_is_one_scan(spark):
+    """Round-4 VERDICT item 1: the search side must be ONE scan of the
+    assignment table (broadcast panel join + explode + WindowGroupLimit
+    top-k), not a per-(query,probe) union of 12 independent scans. The
+    assignment table is a localCheckpoint, so it appears as a 'Scan
+    ExistingRDD' leaf carrying (embedding, list_id) — the whole recall
+    plan must contain exactly one such leaf (the other ExistingRDD
+    leaves are the metadata-sized panel/grid literals)."""
+    import re
+
+    plan = _plan(entry.queries()["similarity_ivf_recall"](spark, SF_TINY))
+    scans = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Scan ExistingRDD\[.*embedding.*list_id", ln)
+    ]
+    assert len(scans) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ivf_search_panel_matches_per_query_search(spark):
+    """Row-for-row equivalence of the batched panel search against the
+    per-(query,probe) ivf_search loop it replaced — same cosines, same
+    top-k membership and tiebreaks."""
+    from readabilitysax_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    centroids, assigned = similarity.build_ivf_index(
+        emb.where("vec_id <> 0"), n_lists=4, n_iter=2
+    )
+    queries = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in emb.where("vec_id in (1, 2, 3)").collect()
+    }
+    panel = {
+        (r["query_id"], r["n_probe"], r["vec_id"], r["cosine"])
+        for r in similarity.ivf_search_panel(
+            assigned, centroids, queries, probe_levels=(1, 2), k=5
+        ).collect()
+    }
+    loop = set()
+    for qid, qv in queries.items():
+        for p in (1, 2):
+            for r in similarity.ivf_search(
+                assigned, centroids, qv, n_probe=p, k=5
+            ).collect():
+                loop.add((qid, p, r["vec_id"], r["cosine"]))
+    assert panel == loop
