@@ -257,34 +257,75 @@ def host_noise_probe(runs: int = 3) -> dict:
     }
 
 
-def fixture_throughput(reps: int = 20, batches: int = 3) -> dict:
+def fixture_throughput(reps: int = 20, batches: int = 3,
+                       max_attempts: int = 9) -> dict:
     """Single-core extraction rate on the reference's own 42 KB fixture
     — the apples-to-apples anchor against readabilitySAX's published
     ~125 docs/s single-threaded (reference readme 'Performance').
 
-    Measured as ``batches`` independent batches of ``reps`` pages; the
-    MEDIAN batch is the headline estimator and the best batch is kept
-    alongside (round-3 VERDICT item 6: median-of-3 + disclosure beats a
-    single reading on a ±30%-steal VM)."""
+    Round-4 VERDICT item 2: every batch is now wrapped in its OWN
+    probe bracket (probe → batch → probe); a batch only counts if both
+    its brackets read quiet, so a mid-run steal wave cannot masquerade
+    as a code regression (the pre/post suite-level brackets bounded the
+    whole run, which is minutes — plenty of room for a hidden wave).
+    Sampling continues until ``batches`` bracket-quiet batches land or
+    ``max_attempts`` is spent; every attempt is reported with its
+    brackets. Headline = median of the bracket-quiet batches (all
+    batches if none qualified — then ``bracket_quiet_count`` says 0 and
+    the reading is explicitly untrusted)."""
     from readabilitysax_spark.core.api import extract
 
     path = "/root/reference/tests/testpage.html"
     html = open(path, encoding="utf-8").read()
     n_bytes = len(html.encode())
     extract(html, url="http://howtonode.org/heat-tracer/")  # warm
-    batch_ms = []
-    for _ in range(batches):
+    attempts = []
+    quiet_ms = []
+    for _ in range(max_attempts):
+        pre = host_noise_probe(runs=2)
         t0 = time.perf_counter()
         for _ in range(reps):
             extract(html, url="http://howtonode.org/heat-tracer/")
-        batch_ms.append((time.perf_counter() - t0) / reps * 1000)
-    med = sorted(batch_ms)[(len(batch_ms) - 1) // 2]
-    best = min(batch_ms)
+        ms = (time.perf_counter() - t0) / reps * 1000
+        post = host_noise_probe(runs=2)
+        quiet = pre["tag"] == "quiet" and post["tag"] == "quiet"
+        attempts.append({
+            "ms_per_page": round(ms, 2),
+            "pre_level_sec": pre["level_sec"],
+            "post_level_sec": post["level_sec"],
+            "bracket_quiet": quiet,
+        })
+        if quiet:
+            quiet_ms.append(ms)
+            if len(quiet_ms) >= batches:
+                break
+    pool = quiet_ms if quiet_ms else [a["ms_per_page"] for a in attempts]
+    med = sorted(pool)[(len(pool) - 1) // 2]
+    best = min(pool)
+    # Host-normalized reading: the probe is fixed pure-Python work of
+    # the same class as the batch, so a steady co-tenant that slows the
+    # batch X% slows the probe level X% too — dividing out the bracket
+    # level (vs the calibrated true-quiet 0.27 s, the floor of the
+    # quiet population documented in BENCH/BASELINE.md) removes steady
+    # sub-threshold steal that the quiet/contended gate can't see.
+    # Raw numbers stay the headline; this is the cross-round comparator.
+    ref_level = 0.27
+    norm = [
+        a["ms_per_page"] * ref_level
+        / ((a["pre_level_sec"] + a["post_level_sec"]) / 2)
+        for a in attempts
+        if a["bracket_quiet"] or not quiet_ms
+    ]
+    norm_med = sorted(norm)[(len(norm) - 1) // 2] if norm else None
     return {
         "fixture": "reference testpage.html (42 KB)",
-        "batches_ms_per_page": [round(b, 2) for b in batch_ms],
+        "batches_ms_per_page": [a["ms_per_page"] for a in attempts],
+        "batch_brackets": attempts,
+        "bracket_quiet_count": len(quiet_ms),
         "ms_per_page_1core": round(med, 2),
         "ms_per_page_1core_best": round(best, 2),
+        "ms_per_page_1core_hostnorm": round(norm_med, 2) if norm_med else None,
+        "hostnorm_ref_level_sec": ref_level,
         "docs_per_sec_1core": round(1000 / med, 1),
         "mb_per_sec_1core": round(n_bytes / (med / 1000) / 1e6, 2),
         # anchor: reference readme 'Performance' — 724 CleanEval pages

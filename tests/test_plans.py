@@ -324,6 +324,63 @@ def test_ivf_recall_search_is_one_scan(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_aqe_skew_join_splits_hot_jaccard_bucket(spark):
+    """PLANS.md §'Why these hold at 100 TB' claims AQE skew-join
+    handles residual imbalance in the jaccard joins — this pins it
+    (round-4 VERDICT item 6). Fixture: a corpus where one band bucket
+    is hot but UNDER the max_bucket_size cap (identical texts all land
+    in the same bucket per band), so the cap doesn't remove it and the
+    band self-join gets one fat partition. With the skew thresholds
+    scaled to test size, the final adaptive plan must mark the join
+    skew-split (SortMergeJoin(skew=true) / skewed AQEShuffleRead)."""
+    from readabilitysax_spark.operators import dedup
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep the SMJ
+        # the band join's output feeds the pair-dedup aggregate, so a
+        # skew split adds an Exchange; at test scale Spark's
+        # cost-check would veto that — force it so the SPLITTING
+        # behavior itself is pinned (at 100 TB the extra shuffle of a
+        # split partition is exactly what we want)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        hot = [(i, "the same boilerplate sentence repeated across many "
+                   "mirrored pages of one template site forever and ever")
+               for i in range(250)]
+        cold = [(10_000 + i,
+                 f"unique document {i} body with its own words w{i} x{i} "
+                 f"y{i} z{i} plus trailing filler filler{i}")
+                for i in range(100)]
+        docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.0)
+        # AQE finalizes a plan per QueryExecution, and only on action:
+        # collect THIS DataFrame (count() would plan a different tree)
+        n = len(pairs.collect())
+        assert n >= 250 * 249 // 2  # the hot bucket really was dense
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_ivf_search_panel_matches_per_query_search(spark):
     """Row-for-row equivalence of the batched panel search against the
     per-(query,probe) ivf_search loop it replaced — same cosines, same
