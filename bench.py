@@ -352,10 +352,22 @@ def streaming_bench(pages_path: str, cpus: int = 8) -> dict:
         shutil.rmtree(p, ignore_errors=True)
     spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    n_in = spark.read.parquet(pages_path).count()
+    pages = spark.read.parquet(pages_path)
+    n_in = pages.count()
+    # steady-state parity with bench_extraction (round-4 VERDICT item
+    # 7): warm the Python workers the same way the batch bench does —
+    # the stream otherwise pays worker cold-start inside its wall
+    extract_articles(pages.sample(0.03, seed=1), num_partitions=None).count()
+    # throughput-sized trigger: one availableNow drain processes the
+    # whole backlog in one micro-batch (fewest sink commits / planning
+    # rounds — measured ~2.8 s per extra micro-batch at local[8]).
+    # Small triggers trade throughput for latency; exactly-once
+    # semantics are identical either way (the rerun below pins it).
+    n_files = len([f for f in os.listdir(pages_path) if f.endswith(".parquet")])
     t0 = time.perf_counter()
     q = run_stream_to_parquet(
-        spark, pages_path, out_dir, ckpt_dir, max_files_per_trigger=16
+        spark, pages_path, out_dir, ckpt_dir,
+        max_files_per_trigger=max(n_files, 16),
     )
     q.awaitTermination()
     wall = time.perf_counter() - t0
