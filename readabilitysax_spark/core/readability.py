@@ -8,7 +8,9 @@ SURVEY.md §2 (Q1-Q11) is replicated intentionally, including:
 
 * Q1  noContent tags (span/font/...) push no node, so their attributes
       and text land on the parent (readability-sax.ts:360-367)
-* Q2  tiny <img> renamed to "script" so it is dropped at close (:398-404)
+* Q2  tiny <img> renamed to "script" — NOT dropped at close (tagsToSkip
+  checks the EVENT tag name, :462), so it survives serialization inert
+  and stops counting as an img in the cleaners (:398-404)
 * Q4/Q5 div unpack leaves the child's parent pointer stale and loses
       tagScore accumulated on the dropped div (:470-479)
 * Q9  totalScore written only to running winners (lib/element.ts:158-163)
@@ -280,7 +282,7 @@ class Readability:
             if numeric is None:
                 pass
             elif numeric <= 32:
-                element.name = "script"  # Q2: drop via tagsToSkip
+                element.name = "script"  # Q2: neutralized (see module docstring)
             elif numeric >= 390 if name == "width" else numeric >= 290:
                 if element.parent is not None:
                     element.parent.attribute_score += 20

