@@ -3,11 +3,15 @@ of the extraction family (north rule: "HTML boilerplate strip,
 PDF/layout parse, DOM heuristics").
 
 A REAL pure-stdlib extractor, not a stub: sequential object scan (no
-xref trust — robust to truncated/corrupt cross-reference tables), page
+xref trust — robust to truncated/corrupt cross-reference tables) with
+PDF 1.5 ``/ObjStm`` object-stream expansion (modern producers put
+page/font/ToUnicode dicts inside compressed object streams), page
 order from the ``/Catalog → /Pages → /Kids`` tree (object-id fallback),
-``/FlateDecode`` content streams inflated with ``zlib``, a page's
-multiple ``/Contents`` streams concatenated before tokenizing (ISO
-32000 §7.7.3.3 persistent state), and a content-stream tokenizer
+stream ``/Filter`` chains decoded in array order (``FlateDecode``,
+``ASCIIHexDecode``, ``ASCII85Decode``; unknown filters skip that
+stream only), a page's multiple ``/Contents`` streams concatenated
+before tokenizing (ISO 32000 §7.7.3.3 persistent state), and a
+content-stream tokenizer
 covering the text-showing operators ``Tj``, ``TJ`` (array form with
 kerning numbers), ``'`` and ``"`` plus the line-advance operators
 ``Td``/``TD``/``T*``/``Tm`` and font selection ``Tf``. PDF literal
@@ -21,8 +25,9 @@ composite (CID) fonts with a ``/ToUnicode`` CMap (``bfchar`` +
 to unicode; simple fonts use the UTF-16BE-BOM text-string convention,
 else latin-1 bytes.
 
-Disclosed boundary: no encrypted documents, no predictor-filtered or
-object streams (``/ObjStm``), and CID fonts WITHOUT a ToUnicode CMap
+Disclosed boundary: no encrypted documents, no LZW or
+predictor-filtered streams (such streams are skipped, the rest of the
+document still extracts), and CID fonts WITHOUT a ToUnicode CMap
 (e.g. Identity-H relying on the font program's cmap table) extract as
 raw code bytes. The Spark surface is the point here: schema, Arrow
 batching, error-row semantics and partitioning all match
@@ -48,7 +53,6 @@ _STREAM_RE = re.compile(rb"stream\r?\n")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R|/Contents\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
-_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -96,7 +100,91 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             eo = eo if eo >= 0 else n
             objs[oid] = (data[m.end():eo], None)
             pos = eo + 6
+    _expand_object_streams(objs)
     return objs
+
+
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[(.*?)\]|/(\w+))", re.S)
+_FILTER_NAME_RE = re.compile(rb"/(\w+)")
+
+
+def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
+    """Apply the stream's ``/Filter`` chain (array order = decode
+    order, ISO 32000 §7.4): FlateDecode, ASCIIHexDecode, ASCII85Decode
+    — the filters real text-bearing streams use. Unknown filters
+    (DCT, JBIG2, LZW, predictors) → None (caller skips the stream);
+    malformed payloads raise and the caller degrades per-stream."""
+    m = _FILTER_RE.search(head)
+    if m is None:
+        return stream
+    if m.group(1) is not None:
+        names = [x.decode("ascii") for x in _FILTER_NAME_RE.findall(m.group(1))]
+    else:
+        names = [m.group(2).decode("ascii")]
+    for f in names:
+        if f == "FlateDecode":
+            stream = zlib.decompress(stream)
+        elif f == "ASCIIHexDecode":
+            hx = stream.split(b">")[0]
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", hx)
+            if len(hx) % 2:
+                hx += b"0"
+            stream = bytes.fromhex(hx.decode("ascii"))
+        elif f == "ASCII85Decode":
+            import base64
+
+            s = re.sub(rb"\s", b"", stream)
+            if s.startswith(b"<~"):
+                s = s[2:]
+            end = s.find(b"~>")
+            if end >= 0:
+                s = s[:end]
+            stream = base64.a85decode(s)
+        else:
+            return None
+    return stream
+
+
+def _expand_object_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """PDF 1.5 object streams (ISO 32000 §7.5.7): a ``/Type /ObjStm``
+    stream holds N streamless sub-objects — modern producers put page,
+    font, and ToUnicode DICTS there, invisible to a top-level scan.
+    The decoded stream starts with N (objnum, offset) integer pairs;
+    bodies begin at /First. Sub-objects are added WITHOUT overwriting
+    top-level definitions (no xref is trusted; a direct ``N 0 obj``
+    wins over a compressed copy)."""
+    for oid in list(objs):
+        head, stream = objs[oid]
+        if stream is None or not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        try:
+            data = _decode_stream(head, stream)
+        except Exception:
+            continue
+        if data is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if nm is None or fm is None:
+            continue
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        if first > len(data):
+            continue
+        header = data[:first].split()
+        pairs: list[tuple[int, int]] = []
+        for k in range(0, min(2 * n_objs, len(header) - 1, 10_000), 2):
+            try:
+                pairs.append((int(header[k]), int(header[k + 1])))
+            except ValueError:
+                break
+        for idx, (sub_oid, off) in enumerate(pairs):
+            end = (
+                first + pairs[idx + 1][1]
+                if idx + 1 < len(pairs)
+                else len(data)
+            )
+            if 0 <= first + off <= end <= len(data):
+                objs.setdefault(sub_oid, (data[first + off:end], None))
 
 
 def _decode_string(tok: bytes) -> str:
@@ -390,11 +478,12 @@ def _page_fonts(
         thead, tstream = objs[tref]
         if tstream is None:
             continue
-        if _FLATE_RE.search(thead):
-            try:
-                tstream = zlib.decompress(tstream)
-            except zlib.error:
-                continue
+        try:
+            tstream = _decode_stream(thead, tstream)
+        except Exception:
+            continue
+        if tstream is None:
+            continue
         fonts[name] = _parse_tounicode(tstream)
     return fonts
 
@@ -492,11 +581,12 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
             head, stream = objs[ref]
             if stream is None:
                 continue
-            if _FLATE_RE.search(head):
-                try:
-                    stream = zlib.decompress(stream)
-                except zlib.error:
-                    continue
+            try:
+                stream = _decode_stream(head, stream)
+            except Exception:  # malformed payload: skip this stream only
+                continue
+            if stream is None:  # unknown filter: skip, page degrades
+                continue
             parts.append(stream)
         if parts:
             content = b"\n".join(parts)
@@ -653,13 +743,21 @@ def synthesize_pdfs(documents: DataFrame) -> DataFrame:
     (sources/pdfgen.py) — the PDF analog of ``synthesize_pages``.
 
     Producer variety rotates by doc_id so the downstream extractor is
-    hash-exercised on every decode path at driver time: doc_id%3==1 →
+    hash-exercised on every decode path at driver time: doc_id%4==1 →
     Type0/Identity-H CID font with a ToUnicode CMap (2-byte codes ≠
-    codepoints), doc_id%3==2 → two-column row-major-drawn layout,
-    else the simple single-column form. Extracted text is IDENTICAL
-    across the three (``expected_pdf_text``), so the oracle SQL is
-    unchanged — the variety only widens what a hash match proves."""
-    from ..sources.pdfgen import synth_pdf
+    codepoints), doc_id%4==2 → two-column row-major-drawn layout,
+    doc_id%4==3 → PDF 1.5-style /ObjStm document (page/font dicts in a
+    compressed object stream; content filters rotate through
+    ASCIIHex / ASCII85+Flate), else the simple single-column form.
+    Extracted text is IDENTICAL across all four
+    (``expected_pdf_text``), so the oracle SQL is unchanged — the
+    variety only widens what a hash match proves."""
+    from ..sources.pdfgen import synth_pdf, synth_pdf_objstm
+
+    def make(i: int, t: str) -> bytes:
+        if i % 4 == 3:
+            return synth_pdf_objstm(i, t)
+        return synth_pdf(i, t, columns=2 if i % 4 == 2 else 1, cid=i % 4 == 1)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -669,14 +767,7 @@ def synthesize_pdfs(documents: DataFrame) -> DataFrame:
                 [
                     pa.array(ids, pa.int64()),
                     pa.array(
-                        [
-                            synth_pdf(
-                                i, t,
-                                columns=2 if i % 3 == 2 else 1,
-                                cid=i % 3 == 1,
-                            )
-                            for i, t in zip(ids, texts)
-                        ],
+                        [make(i, t) for i, t in zip(ids, texts)],
                         pa.binary(),
                     ),
                 ],

@@ -269,6 +269,77 @@ def synth_pdf(doc_id: int, text: str, columns: int = 1, cid: bool = False) -> by
     return bytes(out)
 
 
+def _a85(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+def synth_pdf_objstm(doc_id: int, text: str) -> bytes:
+    """PDF 1.5-style variant: ALL dictionary objects (Pages node, font,
+    every page dict) live inside one Flate-compressed ``/Type /ObjStm``
+    object stream — invisible to a top-level ``N 0 obj`` scan, the way
+    modern producers write PDFs — and the content streams rotate
+    through the text-bearing filter set (plain, ``/ASCIIHexDecode``,
+    ``[/ASCII85Decode /FlateDecode]`` chain). Expected extraction is
+    IDENTICAL to ``synth_pdf`` (``expected_pdf_text``)."""
+    words = text.split(" ")
+    n_pages = max((len(words) + WORDS_PER_PAGE - 1) // WORDS_PER_PAGE, 1)
+    page_ids = [4 + p for p in range(n_pages)]
+    content_ids = [100 + p for p in range(n_pages)]
+    objstm_id = 99
+
+    # sub-objects packed into the ObjStm: Pages(2), Font(3), page dicts
+    kids = b" ".join(b"%d 0 R" % i for i in page_ids)
+    subs: list[tuple[int, bytes]] = [
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    for p in range(n_pages):
+        subs.append((
+            page_ids[p],
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % content_ids[p],
+        ))
+    bodies = b""
+    header_parts = []
+    for oid, body in subs:
+        header_parts.append(b"%d %d" % (oid, len(bodies)))
+        bodies += body + b"\n"
+    header = b" ".join(header_parts) + b"\n"
+    payload = header + bodies
+    comp = zlib.compress(payload)
+
+    chunks: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (objstm_id,
+         b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+         b"\nstream\n" % (len(subs), len(header), len(comp))
+         + comp + b"\nendstream"),
+    ]
+    for p in range(n_pages):
+        stream = _content_stream(_page_lines(words, p))
+        form = p % 3
+        if form == 1:
+            enc = stream.hex().upper().encode("ascii") + b">"
+            head = b"<< /Length %d /Filter /ASCIIHexDecode >>" % len(enc)
+        elif form == 2:
+            enc = _a85(zlib.compress(stream))
+            head = (b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>"
+                    % len(enc))
+        else:
+            enc = stream
+            head = b"<< /Length %d >>" % len(enc)
+        chunks.append((content_ids[p], head + b"\nstream\n" + enc + b"\nendstream"))
+
+    out = bytearray(b"%PDF-1.5\n")
+    for oid, body in chunks:
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
 def expected_pdf_text(text: str) -> str:
     """The extraction the synthesized PDF must round-trip to: words in
     8-word lines joined by newlines, pages joined by newlines (i.e.

@@ -376,3 +376,97 @@ def test_single_column_unaffected_by_layout_rule():
     )
     got, _ = extract_text_from_pdf(pdf)
     assert got == "first\nindented\nback"
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello world",
+        " ".join(f"w{i}" for i in range(100)),  # 3 pages, all 3 filters
+        "par(en) back\\slash close)p",
+        "漢字 文書 mixed latin words",
+    ],
+)
+def test_objstm_round_trip(text):
+    """PDF 1.5 object streams: every dict object (Pages, font, page
+    dicts) lives inside a Flate-compressed /ObjStm — invisible to the
+    top-level scan without expansion — and the content streams rotate
+    plain / ASCIIHexDecode / [ASCII85Decode FlateDecode] chains."""
+    from readabilitysax_spark.sources.pdfgen import synth_pdf_objstm
+
+    pdf = synth_pdf_objstm(1, text)
+    assert b"/ObjStm" in pdf and b"/Type /Page" not in pdf.replace(
+        b"/Type /Pages", b""
+    )  # page dicts really are hidden inside the compressed stream
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert got == expected_pdf_text(text)
+    assert n_pages == max(math.ceil(len(text.split(" ")) / 40), 1)
+
+
+def test_objstm_direct_object_wins_over_compressed():
+    """A direct top-level definition must not be overwritten by an
+    ObjStm copy of the same object id (we trust no xref; direct wins)."""
+    from readabilitysax_spark.operators.pdftext import _parse_objects
+
+    payload = b"7 0\n<< /Decoy true >>\n"
+    comp = zlib.compress(payload)
+    pdf = (
+        b"%PDF-1.5\n"
+        b"7 0 obj\n<< /Real true >>\nendobj\n"
+        + (b"9 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n" % len(comp))
+        + comp + b"\nendstream\nendobj\n"
+    )
+    objs = _parse_objects(pdf)
+    assert b"/Real" in objs[7][0]
+
+
+def test_unknown_filter_skips_stream_not_document():
+    """A /DCTDecode (image) content ref must not error the page; other
+    streams still extract."""
+    c1 = b"BT 72 720 Td (kept) Tj ET"
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+        b"<< /Length 4 /Filter /DCTDecode >>\nstream\n\xff\xd8\xff\xe0\nendstream",
+    ])
+    got, n_pages = extract_text_from_pdf(pdf)
+    assert (got, n_pages) == ("kept", 1)
+
+
+def test_hostile_tounicode_cmaps_never_raise():
+    """Property: arbitrary garbage CMap bytes must parse to SOME map
+    without raising (foreign PDFs carry wild CMaps)."""
+    from hypothesis import given, settings, strategies as st
+
+    from readabilitysax_spark.operators.pdftext import _parse_tounicode
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=400))
+    def prop(blob):
+        cmap, width = _parse_tounicode(
+            b"begincodespacerange <00> <FF> endcodespacerange"
+            b"beginbfchar" + blob + b"endbfchar"
+            b"beginbfrange" + blob + b"endbfrange"
+        )
+        assert width == 1
+        assert all(isinstance(k, int) and isinstance(v, str)
+                   for k, v in cmap.items())
+
+    prop()
+
+
+def test_bfrange_expansion_is_capped():
+    """A hostile <0000> <FFFFFFFF> scalar range must not allocate 4G
+    entries."""
+    from readabilitysax_spark.operators.pdftext import (
+        _MAX_BFRANGE,
+        _parse_tounicode,
+    )
+
+    cmap, _ = _parse_tounicode(
+        b"1 beginbfrange\n<00000000> <FFFFFFFF> <0041>\nendbfrange\n"
+    )
+    assert len(cmap) <= _MAX_BFRANGE + 1
