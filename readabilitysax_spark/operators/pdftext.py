@@ -27,9 +27,11 @@ else latin-1 bytes.
 
 Disclosed boundary: no encrypted documents, no LZW or
 predictor-filtered streams (such streams are skipped, the rest of the
-document still extracts), and CID fonts WITHOUT a ToUnicode CMap
+document still extracts), CID fonts WITHOUT a ToUnicode CMap
 (e.g. Identity-H relying on the font program's cmap table) extract as
-raw code bytes. The Spark surface is the point here: schema, Arrow
+raw code bytes, and a single /ObjStm is expanded up to 50,000
+sub-objects (hostile-input bound; real producers pack tens to
+hundreds). The Spark surface is the point here: schema, Arrow
 batching, error-row semantics and partitioning all match
 ``operators/extract.py``.
 
@@ -106,6 +108,7 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[(.*?)\]|/(\w+))", re.S)
 _FILTER_NAME_RE = re.compile(rb"/(\w+)")
+_MAX_OBJSTM_OBJS = 50_000  # per-ObjStm sub-object cap (hostile input)
 
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
@@ -172,7 +175,10 @@ def _expand_object_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
             continue
         header = data[:first].split()
         pairs: list[tuple[int, int]] = []
-        for k in range(0, min(2 * n_objs, len(header) - 1, 10_000), 2):
+        # hostile-input bound: 2·_MAX_OBJSTM_OBJS header ints (spec has
+        # no limit; real ObjStms hold tens to hundreds of objects —
+        # disclosed in the module docstring)
+        for k in range(0, min(2 * n_objs, len(header) - 1, 2 * _MAX_OBJSTM_OBJS), 2):
             try:
                 pairs.append((int(header[k]), int(header[k + 1])))
             except ValueError:
@@ -433,14 +439,19 @@ def _dict_value(body: bytes, key: bytes,
 
 
 def _page_fonts(
-    page_body: bytes, objs: dict[int, tuple[bytes, bytes | None]]
+    page_body: bytes,
+    objs: dict[int, tuple[bytes, bytes | None]],
+    cmap_cache: dict[int, tuple[dict[int, str], int] | None] | None = None,
 ) -> dict[str, tuple[dict[int, str], int]]:
     """Font-name → (ToUnicode cmap, code width) for a page.
 
     /Resources is looked up on the page, then up the /Parent chain
     (resource inheritance, ISO 32000 §7.7.3.4). Only fonts WITH a
     /ToUnicode CMap are returned — simple fonts fall through to the
-    latin-1 / UTF-16BE-BOM default in ``_decode_shown``."""
+    latin-1 / UTF-16BE-BOM default in ``_decode_shown``. ``cmap_cache``
+    (keyed by the ToUnicode object id, scoped to one document) keeps a
+    shared font's CMap from being re-inflated and re-expanded once per
+    page — a 300-page CID document parses its CMap once, not 300×."""
     body, hops = page_body, 0
     res = None
     seen_parents: set[int] = set()
@@ -475,16 +486,24 @@ def _page_fonts(
         tref = int(tm.group(1))
         if tref not in objs:
             continue
+        if cmap_cache is not None and tref in cmap_cache:
+            cached = cmap_cache[tref]
+            if cached is not None:
+                fonts[name] = cached
+            continue
         thead, tstream = objs[tref]
-        if tstream is None:
-            continue
-        try:
-            tstream = _decode_stream(thead, tstream)
-        except Exception:
-            continue
-        if tstream is None:
-            continue
-        fonts[name] = _parse_tounicode(tstream)
+        parsed: tuple[dict[int, str], int] | None = None
+        if tstream is not None:
+            try:
+                decoded = _decode_stream(thead, tstream)
+                if decoded is not None:
+                    parsed = _parse_tounicode(decoded)
+            except Exception:
+                parsed = None
+        if cmap_cache is not None:
+            cmap_cache[tref] = parsed
+        if parsed is not None:
+            fonts[name] = parsed
     return fonts
 
 
@@ -492,15 +511,21 @@ def _decode_shown(raw: bytes, font: tuple[dict[int, str], int] | None) -> str:
     """Shown string bytes → text under the current font.
 
     CID font (has a ToUnicode CMap): fixed-width codes looked up in the
-    cmap, unmapped codes → U+FFFD. Simple font / no font info: the
-    UTF-16BE-BOM text-string convention (ISO 32000 §7.9.2.2), else
+    cmap, unmapped codes → U+FFFD; a trailing PARTIAL code (truncated
+    producer stream, length not a multiple of the width) also yields
+    U+FFFD instead of vanishing silently. Simple font / no font info:
+    the UTF-16BE-BOM text-string convention (ISO 32000 §7.9.2.2), else
     latin-1 bytes — the pre-CID behavior, unchanged."""
     if font is not None:
         cmap, w = font
-        return "".join(
-            cmap.get(int.from_bytes(raw[k:k + w], "big"), "�")
-            for k in range(0, len(raw) - w + 1, w)
-        )
+        out = []
+        for k in range(0, len(raw), w):
+            chunk = raw[k:k + w]
+            if len(chunk) < w:
+                out.append("�")  # truncated trailing code
+            else:
+                out.append(cmap.get(int.from_bytes(chunk, "big"), "�"))
+        return "".join(out)
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace")
     return raw.decode("latin-1")
@@ -550,6 +575,7 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
     if not objs:
         raise ValueError("no PDF objects")
     pages = []
+    cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
     for oid in _page_object_order(objs):
         body, _ = objs[oid]
         cm = _CONTENTS_RE.search(body)
@@ -560,7 +586,7 @@ def extract_text_from_pdf(data: bytes) -> tuple[str, int]:
             refs = [int(cm.group(1))]
         else:
             refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(2))]
-        pages.append((refs, _page_fonts(body, objs)))
+        pages.append((refs, _page_fonts(body, objs, cmap_cache)))
     if not pages:
         raise ValueError("no /Type /Page objects")
 

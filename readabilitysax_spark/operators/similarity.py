@@ -231,6 +231,16 @@ def build_ivf_index(
     return centroids, assigned
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine for centroid ranking — shared by the
+    per-query and panel search paths so their probe-list selection can
+    never diverge."""
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -246,16 +256,9 @@ def ivf_search(
     lists. NO full-corpus assignment happens here — the only corpus
     scan is the probe-filtered one (partition-pruned when the index
     table is stored partitioned by ``list_id``)."""
-
-    def cos_py(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(y * y for y in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     probes = sorted(
         range(len(centroids)),
-        key=lambda i: (-cos_py(query_vec, centroids[i]), i),
+        key=lambda i: (-_cos_py(query_vec, centroids[i]), i),
     )[:n_probe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
@@ -296,18 +299,12 @@ def ivf_search_panel(
     rounding, same (cosine desc, id) tiebreak)."""
     from pyspark.sql import Window
 
-    def cos_py(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(y * y for y in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     max_probe = max(probe_levels)
     rows = []
     for qid, qv in queries.items():
         order = sorted(
             range(len(centroids)),
-            key=lambda i: (-cos_py(qv, centroids[i]), i),
+            key=lambda i: (-_cos_py(qv, centroids[i]), i),
         )
         for rank, li in enumerate(order[:max_probe]):
             rows.append((
@@ -318,8 +315,12 @@ def ivf_search_panel(
     spark = assigned.sparkSession
     panel = spark.createDataFrame(
         rows,
+        # qv MUST be double: a float32 column would truncate float64
+        # query components and break the row-for-row equivalence with
+        # ivf_search (whose query literals are doubles) at rounded-6
+        # tiebreak boundaries
         "query_id bigint, list_id int, probe_levels array<int>, "
-        "qv array<float>",
+        "qv array<double>",
     )
     scored = (
         assigned.join(F.broadcast(panel), "list_id")

@@ -285,9 +285,11 @@ def synth_pdf_objstm(doc_id: int, text: str) -> bytes:
     IDENTICAL to ``synth_pdf`` (``expected_pdf_text``)."""
     words = text.split(" ")
     n_pages = max((len(words) + WORDS_PER_PAGE - 1) // WORDS_PER_PAGE, 1)
+    # ids sized to the document: pages 4..3+n, contents 4+n..3+2n,
+    # ObjStm last — no collisions at any page count
     page_ids = [4 + p for p in range(n_pages)]
-    content_ids = [100 + p for p in range(n_pages)]
-    objstm_id = 99
+    content_ids = [4 + n_pages + p for p in range(n_pages)]
+    objstm_id = 4 + 2 * n_pages
 
     # sub-objects packed into the ObjStm: Pages(2), Font(3), page dicts
     kids = b" ".join(b"%d 0 R" % i for i in page_ids)

@@ -470,3 +470,52 @@ def test_bfrange_expansion_is_capped():
         b"1 beginbfrange\n<00000000> <FFFFFFFF> <0041>\nendbfrange\n"
     )
     assert len(cmap) <= _MAX_BFRANGE + 1
+
+
+def test_objstm_many_pages_no_id_collision():
+    """Review finding (round 5): object ids used to collide at ≥96
+    pages (page ids ran into the fixed ObjStm/content id bases),
+    silently losing pages. Ids are now sized to the document."""
+    from readabilitysax_spark.sources.pdfgen import synth_pdf_objstm
+
+    text = " ".join(f"w{i}" for i in range(40 * 97))  # 97 pages
+    got, n_pages = extract_text_from_pdf(synth_pdf_objstm(1, text))
+    assert n_pages == 97
+    assert got == expected_pdf_text(text)
+
+
+def test_cid_truncated_trailing_code_yields_replacement():
+    """A show string whose byte length is not a multiple of the code
+    width surfaces U+FFFD for the partial tail instead of dropping it."""
+    cmap = b"1 beginbfchar\n<0001> <0058>\nendbfchar\n"
+    content = b"BT /F1 12 Tf 72 720 Td <000155> Tj ET"  # 3 bytes, w=2
+    pdf = _wrap_pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ])
+    got, _ = extract_text_from_pdf(pdf)
+    assert got == "X�"
+
+
+def test_shared_cmap_parsed_once_per_document(monkeypatch):
+    """Review finding (round 5): a shared font's ToUnicode CMap was
+    re-inflated and re-parsed per page; now memoized per document."""
+    from readabilitysax_spark.operators import pdftext as P
+
+    calls = {"n": 0}
+    orig = P._parse_tounicode
+
+    def counting(stream):
+        calls["n"] += 1
+        return orig(stream)
+
+    monkeypatch.setattr(P, "_parse_tounicode", counting)
+    text = " ".join(f"w{i}" for i in range(40 * 5))  # 5 pages, one font
+    got, n_pages = P.extract_text_from_pdf(synth_pdf(1, text, cid=True))
+    assert n_pages == 5 and got == expected_pdf_text(text)
+    assert calls["n"] == 1
