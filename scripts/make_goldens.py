@@ -203,6 +203,23 @@ PAGES = {
             "nextPage": "http://dispatch-journal.example/letters?page=2",
         },
     },
+    # Round-5: the ONLY organic page reaching skip level 3
+    # (cleanConditionally disabled — readability-sax.ts:637-641's last
+    # relaxation): a link-digest post whose content divs exceed the
+    # 0.5 link-density cleaner rule at every lower level, so levels
+    # 0-2 extract NOTHING and the content is recoverable only once
+    # the conditional cleaner is off. Also pins the exhausted-loop
+    # semantics: textLength stays <250 (links don't count toward it),
+    # the 4-pass loop ends, and the LAST pass's article ships.
+    "linklogpage": {
+        "path": os.path.join(ROOT, "tests/fixtures/linklogpage.html"),
+        "url": "http://dispatch-journal.example/linklog",
+        "settings": {},
+        "anchor": {
+            "title": "Friday Link Log - Dispatch Journal",
+            "skipLevel": 3,
+        },
+    },
     # S5/S6 + RCDATA: entities decoded inside <title>; the 4-word <h1>
     # substring of the decoded title becomes the header title
     "rcdatapage": {

@@ -471,3 +471,34 @@ class TestBoilerpageCombination:
         ancestor-walk break orders."""
         meta = json.loads(_read("boilerpage.meta.json"))
         assert meta["nextPage"].endswith("/letters?page=2")
+
+
+class TestLinklogSkipLevelThree:
+    """Round-5: the only organic page that reaches skip level 3 — the
+    conditional cleaner (cleanConditionally) must actually turn OFF for
+    any content to survive, pinning the last relaxation step of
+    set_skip_level and the exhausted-loop final-pass semantics."""
+
+    def test_skip_level_three_and_content_only_there(self):
+        meta = json.loads(_read("linklogpage.meta.json"))
+        assert meta["skipLevel"] == 3
+        text = _read("linklogpage.text.txt")
+        assert "heat-tracing retrospective" in text
+        # links don't count toward textLength, so the loop EXHAUSTED
+        # (final textLength < 250) and shipped the level-3 article
+        assert meta["textLength"] < 250
+
+    def test_levels_below_three_extract_nothing(self):
+        from readabilitysax_spark.core.readability import Readability
+        from readabilitysax_spark.core.tokenizer import replay, tokenize
+
+        spec = PAGES["linklogpage"]
+        html = open(spec["path"], encoding="utf-8").read()
+        ev = tokenize(html)
+        for lvl in (0, 1, 2):
+            r = Readability({"pageURL": spec["url"]})
+            if lvl:
+                r.set_skip_level(lvl)
+            r.onreset()
+            replay(ev, r)
+            assert r.get_article()["textLength"] == 0, lvl
