@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import extract_articles
 from ..operators.metrics import partition_metrics
+from ..sources.pages import spread_small_scan
 
 CHECKPOINT_DDL = (
     "run_id string, bucket int, status string, n_rows bigint, "
@@ -192,6 +193,14 @@ def run_pipeline(
         t0 = time.perf_counter()
         # partition-pruned: touches only staging_dir/bucket=<b>/ files
         subset = staged.where(F.col("bucket") == bucket)
+        # one bucket's files are small at sub-production scale and
+        # Spark's openCost coalescing packs them into ~1 split, pinning
+        # the CPU-bound extraction to one core (measured: a 32-core
+        # spark-submit run was SLOWER than 8-core because every bucket
+        # job ran single-core). spread_small_scan round-robins the
+        # bucket across the executors; at 100 TB a bucket is thousands
+        # of splits and the branch is a structural no-op.
+        subset = spread_small_scan(spark, subset)
         articles = extract_articles(
             subset, output_type=output_type, num_partitions=num_partitions
         ).withColumn("bucket", F.lit(bucket))
