@@ -409,3 +409,37 @@ def test_ivf_search_panel_matches_per_query_search(spark):
             ).collect():
                 loop.add((qid, p, r["vec_id"], r["cosine"]))
     assert panel == loop
+
+
+def test_bucketed_feature_join_has_no_exchange(spark, tmp_path):
+    """100 TB shape: the dedup-feature table materialized with
+    bucketBy(doc_id)+sortBy (SMB layout) must join on doc_id with NO
+    Exchange on the bucketed side — the clustered write pays the
+    shuffle once and every downstream verify/cluster/incremental join
+    reads it shuffle-free."""
+    from readabilitysax_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    feats = docs.selectExpr("doc_id", "md5(text) as h", "length(text) as n")
+    old_warehouse = spark.conf.get("spark.sql.warehouse.dir", None)
+    try:
+        tbl = dedup.materialize_bucketed_features(
+            feats, "feat_smb_test", n_buckets=4
+        )
+        pairs = docs.selectExpr("doc_id", "lang")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = tbl.join(pairs, "doc_id")
+        plan = _plan(joined)
+        # the bucketed side must contribute NO Exchange; the probe side
+        # shuffles to match the bucketing (one Exchange total)
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "SortMergeJoin" in plan, plan
+        # self-join of the bucketed table: zero Exchanges anywhere
+        self_joined = tbl.alias("a").join(
+            spark.table("feat_smb_test").alias("b"), "doc_id"
+        )
+        plan2 = _plan(self_joined)
+        assert "Exchange hashpartitioning" not in plan2, plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS feat_smb_test")
