@@ -163,11 +163,18 @@ def test_pdf_round_trip_fuzz():
         min_size=1, max_size=6,
     ).map(lambda s: s.replace(" ", "_"))
 
+    from readabilitysax_spark.sources.pdfgen import synth_pdf_objstm
+
     @settings(max_examples=30, deadline=None)
-    @given(st.lists(word, min_size=0, max_size=90))
-    def prop(words):
+    @given(st.lists(word, min_size=0, max_size=90), st.integers(0, 3))
+    def prop(words, variant):
         text = " ".join(words)
-        got, n_pages = extract_text_from_pdf(synth_pdf(1, text))
+        if variant == 3:
+            pdf = synth_pdf_objstm(1, text)
+        else:
+            pdf = synth_pdf(1, text, columns=2 if variant == 2 else 1,
+                            cid=variant == 1)
+        got, n_pages = extract_text_from_pdf(pdf)
         assert got == expected_pdf_text(text)
         assert n_pages == max(math.ceil(len(text.split(" ")) / 40), 1)
 
