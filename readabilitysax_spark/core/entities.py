@@ -36,6 +36,14 @@ _DEC_DIGITS = set("0123456789")
 _ALNUM_EQ = set(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789="
 )
+# Fast-fail guards for NON-references (the overwhelming case in code-
+# heavy pages full of bare '&', '&&'): every WHATWG name starts with an
+# ASCII letter and no name is shorter than 2 chars, so a non-letter or
+# an invalid 2-char prefix can never match — checked before the
+# longest-match loop. Pure rejection filters: accepted inputs take the
+# identical path as before, so decode semantics are unchanged.
+_NAME_FIRST = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_NAME_PREFIX2 = {k[:2] for k in _HTML5}
 
 
 def _replace_codepoint(cp: int) -> str:
@@ -76,6 +84,8 @@ def decode_entity(s: str, pos: int, in_attribute: bool) -> tuple[str, int] | Non
         return _replace_codepoint(cp), i
 
     # named reference: longest match against the WHATWG table.
+    if c not in _NAME_FIRST or s[i:i + 2] not in _NAME_PREFIX2:
+        return None  # cannot start any name — bare '&', '&&', '& '
     # Every with-semicolon key ends at its ';', so the first ';' in the
     # window is the only possible with-semicolon match — try it first
     # (one dict hit for the overwhelmingly common case), then fall back
