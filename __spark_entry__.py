@@ -716,38 +716,20 @@ def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 — from the documents table alone.
 
     At 100 TB the four stages run over one synth/scan of the media
-    table (shared input, Arrow-batched map passes, all zero-shuffle);
-    the media_id equi-joins here exist only to pack the audit into one
-    row per asset.
-    """
-    from readabilitysax_spark.operators import pdftext
+    table (shared input, Arrow-batched map passes, all zero-shuffle).
 
+    Round 6: the four stages are FUSED into one ``mapInArrow`` pass
+    (``multimodal.media_audit``) — the r5 shape synthesized the asset
+    table once per stage (4 Python crossings) and paid three media_id
+    sort-merge joins solely to re-pack per-asset rows into one audit
+    row; the fused pass is zero-join/zero-shuffle and row-for-row
+    identical to the staged join (values, column order, null pattern —
+    pinned by tests/test_operators.py::
+    test_media_audit_matches_stage_joins; the per-stage operators stay
+    the public API).
+    """
     docs = read_documents(spark, sf_dir)
-    media = multimodal.synth_media_from_documents(docs)
-    feats = multimodal.extract_media_features(media).select(
-        "media_id", "media_type", "n_bytes", "decode_ok", "width",
-        "height", "sample_rate", "n_samples", "duration_s",
-    )
-    resized = multimodal.resize_images(media, max_side=32).select(
-        "media_id", "resize_ok",
-        "new_width", "new_height",
-        F.col("n_bytes").alias("resized_bytes"),
-    )
-    frames = multimodal.sample_frames(media, every_n=100).select(
-        "media_id", "frames_ok", "n_frames", "frame_bytes",
-    )
-    pdfs = pdftext.extract_pdf_text(pdftext.synthesize_pdfs(docs)).select(
-        F.col("doc_id").alias("media_id"),
-        F.col("ok").alias("pdf_ok"),
-        F.col("n_pages").alias("n_pdf_pages"),
-        F.col("n_chars").alias("pdf_text_len"),
-        F.md5("text").alias("pdf_text_md5"),
-    )
-    return (
-        feats.join(resized, "media_id", "left")
-        .join(frames, "media_id", "left")
-        .join(pdfs, "media_id", "left")
-    )
+    return multimodal.media_audit(docs, max_side=32, every_n=100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -84,9 +84,19 @@ def benchmark_ngrams(
     """Distinct n-gram hash set of an eval/benchmark suite — the tiny
     side of the decontamination join (built once per benchmark,
     broadcast to every executor)."""
+    # explode_OUTER + null filter, not plain explode: Catalyst's
+    # InferFiltersFromGenerate adds `size(grams) > 0 AND
+    # isnotnull(grams)` under a non-outer explode and pushes it below
+    # the repartition Exchange into the scan stage with the WHOLE
+    # md5-n-gram transform inlined (split re-evaluated per slice — the
+    # O(words²) form), so the gram pipeline would run 2 extra times,
+    # single-core, before the shuffle (measured ~6× this query's wall
+    # at sf0.1). The outer generate admits no such inference; the
+    # post-generate null filter is value-identical and cheap.
     return (
         _ngram_hash_table(benchmark, text_col, n)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
+        .where(F.col("gram").isNotNull())
         .distinct()
     )
 
@@ -109,9 +119,11 @@ def decontaminate(
     shuffled volume is proportional to contamination, not corpus size.
     """
     grams = benchmark_ngrams(benchmark, text_col, n)
+    # explode_outer + null filter: same InferFiltersFromGenerate
+    # pushdown-inlining story as benchmark_ngrams (see comment there)
     doc_grams = _ngram_hash_table(documents, text_col, n, keep=(id_col,)).select(
-        F.col(id_col), F.explode("grams").alias("gram")
-    )
+        F.col(id_col), F.explode_outer("grams").alias("gram")
+    ).where(F.col("gram").isNotNull())
     return (
         doc_grams.join(F.broadcast(grams), "gram")
         .groupBy(id_col)

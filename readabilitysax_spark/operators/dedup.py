@@ -34,6 +34,22 @@ def _words(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _has_shingles(text_col: str = "text", k: int = DEFAULT_SHINGLE_WORDS) -> Column:
+    """Cheap predicate equivalent to "this doc has a non-NULL minhash
+    signature": a doc shingles iff it has ≥ k words. Filtering the
+    DOCUMENTS side with this instead of ``where(minhash_0 IS NOT NULL)``
+    after signature computation matters for the plan: Catalyst pushes a
+    post-signature null filter below the repartition Exchange into the
+    scan stage and INLINES the whole shingle→md5→min expression tree
+    into the Filter condition (with ``split`` re-inlined per slice —
+    the O(words²) form the staged projection exists to avoid), so the
+    full signature pipeline would run an extra time, single-core,
+    before the shuffle (measured: ~2× the whole query at sf0.1). This
+    one-split predicate pushes down for free instead (guide §2.4/§1 —
+    keep expensive expressions out of pushed-down filters)."""
+    return F.size(F.split(F.col(text_col), " ")) >= k
+
+
 def shingles(text_col: str = "text", k: int = DEFAULT_SHINGLE_WORDS) -> Column:
     """Word k-gram shingles as an array<string> column (JVM transform).
 
@@ -143,9 +159,12 @@ def minhash_lsh_buckets(
     max_doc_id). Each signature position is one band (r=1)."""
     # shingle-less docs (< k words) have NULL signatures — excluded, or
     # they'd all collide into one null bucket (matches the oracle's
-    # UNPIVOT, which drops NULL cells)
-    sigs = minhash_signatures(documents, num_hashes, shingle_words).where(
-        F.col("minhash_0").isNotNull()
+    # UNPIVOT, which drops NULL cells). The exclusion is a cheap
+    # word-count pre-filter, NOT a post-signature null filter — see
+    # _has_shingles for why (pushed-down filter inlining).
+    sigs = minhash_signatures(
+        documents.where(_has_shingles("text", shingle_words)),
+        num_hashes, shingle_words,
     )
     bands = sigs.select(
         "doc_id",
@@ -185,16 +204,20 @@ def minhash_candidate_pairs(
     with ``oversize_lsh_buckets`` (no-silent-caps rule)."""
     # NULL signatures (shingle-less short docs) excluded: concat_ws
     # silently drops NULLs, which would bucket every short doc together.
-    # The SIGNATURE table (1 row/doc, num_hashes cols) is what gets
-    # materialized — it feeds the cap aggregation and BOTH sides of the
-    # self-join, which would otherwise recompute the shingle→md5
-    # pipeline 3×. Checkpointing the signatures instead of the exploded
-    # band table writes num_hashes× less data for the same reuse (the
-    # band explode is a cheap post-scan projection); at 10^12 docs this
-    # is "persist the signature table to storage once", the standard
-    # MinHash deployment layout. (localCheckpoint = in-session analog.)
-    sigs = minhash_signatures(documents, num_hashes, shingle_words).where(
-        F.col("minhash_0").isNotNull()
+    # Exclusion via the cheap _has_shingles pre-filter (see its
+    # docstring: a post-signature null filter gets pushed down with the
+    # whole signature expression inlined). The SIGNATURE table (1
+    # row/doc, num_hashes cols) is what gets materialized — it feeds
+    # the cap aggregation and BOTH sides of the self-join, which would
+    # otherwise recompute the shingle→md5 pipeline 3×. Checkpointing
+    # the signatures instead of the exploded band table writes
+    # num_hashes× less data for the same reuse (the band explode is a
+    # cheap post-scan projection); at 10^12 docs this is "persist the
+    # signature table to storage once", the standard MinHash deployment
+    # layout. (localCheckpoint = in-session analog.)
+    sigs = minhash_signatures(
+        documents.where(_has_shingles("text", shingle_words)),
+        num_hashes, shingle_words,
     ).localCheckpoint()
     bands = sigs.select(
         "doc_id",
@@ -235,8 +258,9 @@ def oversize_lsh_buckets(
     it, shingle-less short docs (NULL minhashes → concat_ws collapsing
     to the bare band index) surface as oversize buckets that pair
     generation never creates, over-reporting the audit."""
-    sigs = minhash_signatures(documents, num_hashes, shingle_words).where(
-        F.col("minhash_0").isNotNull()
+    sigs = minhash_signatures(
+        documents.where(_has_shingles("text", shingle_words)),
+        num_hashes, shingle_words,
     )
     bands = sigs.select(
         "doc_id",
@@ -400,10 +424,17 @@ def near_dup_clusters(
     rejoin via one final left join.
     """
     pairs = ngram_jaccard_pairs(documents, threshold, num_hashes, shingle_words)
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = edges.union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint()
+    # both directions from ONE pass over the pairs subtree: a
+    # union(pairs, pairs.reversed) plans the band-join + verify-join
+    # chain TWICE (no CSE across union branches); the explode keeps a
+    # single subtree and the checkpoint materializes the edge list for
+    # the iteration
+    edges = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+        )).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
 
     # both edge directions are present, so src alone covers every
     # edge-touched node
@@ -589,8 +620,11 @@ def incremental_dedup(
     )
 
     def band_table(docs: DataFrame) -> DataFrame:
-        sigs = minhash_signatures(docs, num_hashes, shingle_words).where(
-            F.col("minhash_0").isNotNull()
+        # cheap pre-filter, not a post-signature null filter — see
+        # _has_shingles (pushed-down filter inlining)
+        sigs = minhash_signatures(
+            docs.where(_has_shingles("text", shingle_words)),
+            num_hashes, shingle_words,
         )
         return sigs.select(
             "doc_id",
@@ -677,16 +711,33 @@ def simhash_multi(
     cost of the widest single-width call.
     """
     max_bits = max(widths)
+    # Per-word vote extraction via integer bit tests instead of 64
+    # string ops: the first 16 hex chars of md5(word) are parsed ONCE
+    # into two 32-bit integer chunks (conv is the only string work per
+    # word), and bit b of the digest is then (chunk >> shift) & 1 —
+    # bit-identical to the per-nibble instr/substring arithmetic of
+    # simhash_sql_expr (hex char b//4+1 has value (c >> 4*(8-(b//4+1)))
+    # & 15, so its bit 3-b%4 sits at shift 31-b / 63-b), but ~64 cheap
+    # long ops per word instead of 64 substring+instr+pmod+CASE
+    # (guide §1.2 step 2: per-task work). The vote is 2*bit-1 == the
+    # CASE ... THEN 1 ELSE -1 — no null words can arise from split+
+    # explode, so the sums agree exactly. Oracle-side simhash_sql_expr
+    # is deliberately untouched (frozen SQL text); equality is pinned
+    # by the hash-checked dedup_simhash / simhash64_pairs rows and
+    # tests/test_operators.py.
     words = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).withColumn("h", F.md5("word"))
+    ).select("doc_id", F.md5("word").alias("h")).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("_c0"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("_c1"),
+    )
     aggs = []
     for b in range(max_bits):
-        hx = b // 4 + 1
-        power = 2 ** (3 - b % 4)
-        nib = F.expr(f"instr('0123456789abcdef', substring(h, {hx}, 1)) - 1")
-        bit = F.when((nib % (power * 2)) >= power, 1).otherwise(-1)
-        aggs.append(F.sum(bit).alias(f"s{b}"))
+        c = F.col("_c0") if b < 32 else F.col("_c1")
+        shift = (31 - b) if b < 32 else (63 - b)
+        bit = F.shiftright(c, shift).bitwiseAND(F.lit(1)).cast("int")
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
     per_doc = words.groupBy("doc_id").agg(*aggs)
     outs = []
     for bits in widths:
@@ -720,7 +771,14 @@ def simhash_near_dup_pairs(
     """
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
-    sh = simhash(documents, bits)
+    # Materialize the fingerprint table ONCE (1 row/doc): it feeds the
+    # bucket-cap aggregation and BOTH sides of the band self-join —
+    # without this the word-explode + 64-vote aggregation pipeline runs
+    # 4× (the r05 plan had 4 full scans / 28 HashAggregates; measured
+    # ~2.4× the whole query at sf0.1). Same persist-the-feature-table
+    # layout as minhash_candidate_pairs; at 10^12 docs the fingerprint
+    # table is written to storage once per snapshot.
+    sh = simhash(documents, bits).localCheckpoint()
     # (x >> s) & mask is shift-mode agnostic (mask strips sign-extension)
     bands = sh.select(
         "doc_id", "simhash",

@@ -380,3 +380,154 @@ def sample_frames(media: DataFrame, every_n: int = 100) -> DataFrame:
     return media.select("media_id", "media_type", "payload").mapInPandas(
         batches, FRAMES_DDL
     )
+
+
+# ---- fused media audit (one pass over the synthesized assets) ----
+
+MEDIA_AUDIT_DDL = (
+    "media_id bigint, media_type string, n_bytes bigint, decode_ok boolean, "
+    "width int, height int, sample_rate int, n_samples bigint, "
+    "duration_s double, resize_ok boolean, new_width int, new_height int, "
+    "resized_bytes bigint, frames_ok boolean, n_frames int, "
+    "frame_bytes bigint, pdf_ok boolean, n_pdf_pages int, pdf_text_len int, "
+    "pdf_text_md5 string"
+)
+
+
+def media_audit(
+    documents: DataFrame, max_side: int = 32, every_n: int = 100
+) -> DataFrame:
+    """ONE-pass media audit: synthesize each doc's asset and run the
+    feature / resize / frame-sample / PDF-text stages on it inside a
+    single ``mapInArrow`` batch loop — row-for-row identical (values,
+    column order, null pattern) to the 4-stage composition
+
+        extract_media_features(synth) LEFT JOIN resize_images(synth)
+        LEFT JOIN sample_frames(synth) LEFT JOIN extract_pdf_text(pdfs)
+
+    on media_id (pinned by tests/test_operators.py::
+    test_media_audit_matches_stage_joins). The per-stage operators
+    above remain the public API; this is the audit-query plan shape:
+    the staged form synthesized the asset table FOUR times (one
+    mapInPandas per stage) and paid three media_id shuffles just to
+    re-pack per-asset rows the map pass already had — the fused pass is
+    zero-shuffle, zero-join, one Python crossing (guide §4.1/§2.4), and
+    at 100 TB it is the same "every decision is per-asset → never
+    shuffle the bytes" layout the module docstring already mandates.
+    Non-png rows carry NULL resize columns exactly like the left-join
+    miss; the pdf text md5 is hashlib.md5 over UTF-8 bytes — the same
+    function as the JVM ``md5(text)``.
+    """
+    import pyarrow as pa
+
+    from .pdftext import extract_text_from_pdf
+
+    def audit_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..sources.pdfgen import synth_pdf, synth_pdf_objstm
+
+        schema = pa.schema([
+            pa.field("media_id", pa.int64()),
+            pa.field("media_type", pa.string()),
+            pa.field("n_bytes", pa.int64()),
+            pa.field("decode_ok", pa.bool_()),
+            pa.field("width", pa.int32()),
+            pa.field("height", pa.int32()),
+            pa.field("sample_rate", pa.int32()),
+            pa.field("n_samples", pa.int64()),
+            pa.field("duration_s", pa.float64()),
+            pa.field("resize_ok", pa.bool_()),
+            pa.field("new_width", pa.int32()),
+            pa.field("new_height", pa.int32()),
+            pa.field("resized_bytes", pa.int64()),
+            pa.field("frames_ok", pa.bool_()),
+            pa.field("n_frames", pa.int32()),
+            pa.field("frame_bytes", pa.int64()),
+            pa.field("pdf_ok", pa.bool_()),
+            pa.field("n_pdf_pages", pa.int32()),
+            pa.field("pdf_text_len", pa.int32()),
+            pa.field("pdf_text_md5", pa.string()),
+        ])
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            cols: dict[str, list] = {f.name: [] for f in schema}
+            for doc_id, text in zip(ids, texts):
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    mtype, payload = "image/png", synth_png(doc_id)
+                elif kind == 1:
+                    mtype, payload = "audio/wav", synth_wav(doc_id)
+                else:
+                    mtype, payload = "video/mp4", synth_mp4(doc_id, text)
+                ok, feats = decode_media(mtype, payload)
+                cols["media_id"].append(doc_id)
+                cols["media_type"].append(mtype)
+                cols["n_bytes"].append(len(payload))
+                cols["decode_ok"].append(ok)
+                cols["width"].append(feats["width"])
+                cols["height"].append(feats["height"])
+                cols["sample_rate"].append(feats["sample_rate"])
+                cols["n_samples"].append(feats["n_samples"])
+                cols["duration_s"].append(feats["duration_s"])
+                # resize stage: png rows only (left-join miss -> NULLs)
+                if mtype == "image/png":
+                    meta = decode_png(payload)
+                    resized = resize_png(payload, max_side)
+                    if meta is None or resized is None:
+                        cols["resize_ok"].append(False)
+                        cols["new_width"].append(None)
+                        cols["new_height"].append(None)
+                        cols["resized_bytes"].append(None)
+                    else:
+                        new_meta = decode_png(resized)
+                        cols["resize_ok"].append(True)
+                        cols["new_width"].append(new_meta["width"])
+                        cols["new_height"].append(new_meta["height"])
+                        cols["resized_bytes"].append(len(resized))
+                else:
+                    cols["resize_ok"].append(None)
+                    cols["new_width"].append(None)
+                    cols["new_height"].append(None)
+                    cols["resized_bytes"].append(None)
+                # frame/sample stage (sample_frames semantics verbatim)
+                f_ok, n, fb = False, 0, 0
+                if mtype == "audio/wav":
+                    wfeats = decode_wav(payload)
+                    if wfeats is not None:
+                        n = -(-wfeats["n_samples"] // every_n)
+                        fb = n * 2
+                        f_ok = True
+                elif mtype == "image/png":
+                    if decode_png(payload) is not None:
+                        n, fb, f_ok = 1, len(payload), True
+                cols["frames_ok"].append(f_ok)
+                cols["n_frames"].append(n)
+                cols["frame_bytes"].append(fb)
+                # PDF stage (synthesize_pdfs producer rotation verbatim)
+                if doc_id % 4 == 3:
+                    pdf = synth_pdf_objstm(doc_id, text)
+                else:
+                    pdf = synth_pdf(
+                        doc_id, text,
+                        columns=2 if doc_id % 4 == 2 else 1,
+                        cid=doc_id % 4 == 1,
+                    )
+                try:
+                    pdf_text, np_ = extract_text_from_pdf(pdf)
+                    p_ok = True
+                except Exception:
+                    pdf_text, np_, p_ok = "", 0, False
+                cols["pdf_ok"].append(p_ok)
+                cols["n_pdf_pages"].append(np_)
+                cols["pdf_text_len"].append(len(pdf_text))
+                cols["pdf_text_md5"].append(
+                    hashlib.md5(pdf_text.encode("utf-8")).hexdigest()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in schema], schema=schema
+            )
+
+    return documents.select("doc_id", "text").mapInArrow(
+        audit_batches, MEDIA_AUDIT_DDL
+    )

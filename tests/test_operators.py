@@ -78,6 +78,50 @@ def test_media_features_real_decode(spark):
             assert f.container_brand == "isom"
 
 
+def test_media_audit_matches_stage_joins(spark):
+    """The fused one-pass media_audit must be row-for-row identical
+    (values, column order, null pattern) to the staged composition it
+    replaced in the media_pipeline query: features LEFT JOIN resize
+    LEFT JOIN frames LEFT JOIN pdf-text on media_id."""
+    from pyspark.sql import functions as F
+
+    from readabilitysax_spark.operators import multimodal, pdftext
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").limit(40)
+    media = multimodal.synth_media_from_documents(docs)
+    feats = multimodal.extract_media_features(media).select(
+        "media_id", "media_type", "n_bytes", "decode_ok", "width",
+        "height", "sample_rate", "n_samples", "duration_s",
+    )
+    resized = multimodal.resize_images(media, max_side=32).select(
+        "media_id", "resize_ok", "new_width", "new_height",
+        F.col("n_bytes").alias("resized_bytes"),
+    )
+    frames = multimodal.sample_frames(media, every_n=100).select(
+        "media_id", "frames_ok", "n_frames", "frame_bytes",
+    )
+    pdfs = pdftext.extract_pdf_text(pdftext.synthesize_pdfs(docs)).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("ok").alias("pdf_ok"),
+        F.col("n_pages").alias("n_pdf_pages"),
+        F.col("n_chars").alias("pdf_text_len"),
+        F.md5("text").alias("pdf_text_md5"),
+    )
+    staged = (
+        feats.join(resized, "media_id", "left")
+        .join(frames, "media_id", "left")
+        .join(pdfs, "media_id", "left")
+    )
+    fused = multimodal.media_audit(docs, max_side=32, every_n=100)
+    assert fused.columns == staged.columns
+    assert [f.dataType for f in fused.schema.fields] == [
+        f.dataType for f in staged.schema.fields
+    ]
+    a = sorted(tuple(r) for r in fused.collect())
+    b = sorted(tuple(r) for r in staged.collect())
+    assert a == b
+
+
 def test_media_decoders_reject_garbage():
     from readabilitysax_spark.operators import multimodal as mm
 
