@@ -45,6 +45,42 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
+# ---- driver-known-vector fast path (round 6) ----
+#
+# A cosine against a KNOWN vector (query, centroid, hyperplane) spent
+# two thirds of its work re-computing norms: the constant side's norm
+# was re-aggregated per ROW (higher-order aggregates over literal
+# arrays do not constant-fold), and multi-centroid panels re-computed
+# the row's own norm once per centroid. cosine_lit folds the constant
+# norm on the driver — the SAME left-to-right double square-sum and
+# IEEE sqrt the JVM aggregate computes, so the product ``norm(a) *
+# lit(norm_const)`` is bit-identical to ``_norm(a) * _norm(lit)`` —
+# and optionally takes a pre-staged row norm so an n-centroid
+# assignment evaluates _norm(a) once instead of n times. The dot
+# product itself stays the zip_with/aggregate form: an unrolled
+# 64-term expression chain was MEASURED SLOWER (codegen blowup at
+# dim=64 — similarity_topk 0.44 s → 0.91 s), so only the norms moved.
+# Pinned by the oracle fuzz gate (cosine ties at round-6/round-9
+# boundaries) and test_ivf_search_panel_matches_per_query_search,
+# which compares this path against the plain-HOF path row-for-row.
+
+def _norm_py(v: list[float]) -> float:
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_lit(a: Column, consts: list[float], a_norm: Column | None = None) -> Column:
+    """cosine(a, lit(consts)) — value-identical to
+    ``cosine(a, F.array(*map(F.lit, consts)))`` (see block comment).
+    ``a_norm`` optionally supplies a pre-staged ``_norm(a)`` column so
+    multi-vector panels (IVF assignment) compute the row norm once."""
+    c = F.array(*[F.lit(float(v)) for v in consts])
+    den = (a_norm if a_norm is not None else _norm(a)) * F.lit(_norm_py(consts))
+    return F.when(den > 0, _dot(a, c) / den).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -53,11 +89,11 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, cosine) — exact top-k, deterministic tiebreak on id."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = [float(v) for v in query_vec]
     return (
         embeddings.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(cosine_lit(F.col(vec_col), q), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -144,12 +180,12 @@ def lsh_bucket_topk(
     qbucket = query_bucket(query_vec, dim, n_planes, seed)
     probes = probe_buckets(qbucket, n_planes, probe_radius)
     bucketed = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = [float(v) for v in query_vec]
     return (
         bucketed.where(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(cosine_lit(F.col(vec_col), q), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -162,18 +198,25 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: adds ``list_id`` = argmax cosine over
-    the centroid table (JVM struct-max, no UDF)."""
+    the centroid table (JVM struct-max, no UDF). The row's norm is
+    staged ONCE (``_vnorm`` projection) and shared by every centroid's
+    cosine — the n_lists-fold norm recomputation plus the per-row
+    re-aggregation of each constant centroid's norm dominated the
+    assignment pass (see the cosine_lit block comment)."""
+    staged = embeddings.withColumn("_vnorm", _norm(F.col(vec_col)))
     structs = []
     for i, c in enumerate(centroids):
-        cv = F.array(*[F.lit(float(v)) for v in c])
+        sim = cosine_lit(
+            F.col(vec_col), [float(v) for v in c], a_norm=F.col("_vnorm")
+        )
         structs.append(
             F.struct(
-                F.round(cosine(F.col(vec_col), cv), 9).alias("sim"),
+                F.round(sim, 9).alias("sim"),
                 F.lit(i).alias("list_id"),
             )
         )
     best = F.array_max(F.array(*structs))
-    return embeddings.withColumn("list_id", best["list_id"])
+    return staged.withColumn("list_id", best["list_id"]).drop("_vnorm")
 
 
 def train_centroids_deterministic(
@@ -260,12 +303,12 @@ def ivf_search(
         range(len(centroids)),
         key=lambda i: (-_cos_py(query_vec, centroids[i]), i),
     )[:n_probe]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = [float(v) for v in query_vec]
     return (
         assigned.where(F.col("list_id").isin(probes))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine"),
+            F.round(cosine_lit(F.col(vec_col), q), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -360,7 +403,15 @@ def ivf_topk(
     for ad-hoc exploration; production queries should run against a
     prebuilt index instead: ``build_ivf_index`` once (offline, the two
     full-corpus passes live THERE), then ``ivf_search`` per query
-    (probe-filtered scan only)."""
+    (probe-filtered scan only).
+
+    The input is materialized once up front: the one-shot path reads
+    the corpus in FOUR separate jobs (seed head, one Lloyd
+    assignment+collect per iteration, final assignment+search), each
+    of which would otherwise re-run the scan + repartition; the
+    checkpoint pays that once (the in-session analog of the staging
+    table an ad-hoc exploration would point at)."""
+    embeddings = embeddings.localCheckpoint()
     centroids = train_centroids_deterministic(embeddings, n_lists, id_col, vec_col)
     assigned = ivf_assign(embeddings, centroids, vec_col)
     return ivf_search(assigned, centroids, query_vec, n_probe, k, id_col, vec_col)
@@ -382,8 +433,15 @@ def embedding_near_dup_pairs(
     degenerate mega-bucket (e.g. a constant-vector cluster) would make
     the pair join quadratic in that bucket, so buckets wider than the
     cap are excluded from pair generation. NOT silent: callers can
-    count what was dropped with ``oversize_buckets`` before running."""
-    b = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col)
+    count what was dropped with ``oversize_buckets`` before running.
+
+    The bucketed table is materialized once: it feeds the cap
+    aggregation and BOTH sides of the self-join, and the bucket column
+    costs ``n_planes`` 64-dim dot products per row (interpreted
+    higher-order functions) — 3× recomputation was most of this
+    operator's wall. Same persist-the-feature-table layout as the
+    minhash/simhash pair generators."""
+    b = lsh_bucket_ids(embeddings, dim, n_planes, seed, vec_col).localCheckpoint()
     if max_bucket_size is not None:
         wide = b.groupBy("bucket").count().where(F.col("count") > max_bucket_size)
         b = b.join(F.broadcast(wide.select("bucket")), "bucket", "left_anti")
