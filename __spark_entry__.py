@@ -24,15 +24,18 @@ from readabilitysax_spark.operators import (
     corpus,
     curation,
     dedup,
-    extract,
     multimodal,
     similarity,
     textstats,
 )
-from readabilitysax_spark.operators.extract import extract_articles
+from readabilitysax_spark.operators.extract import (
+    extract_articles,
+    extract_articles_from_documents,
+    extract_outlinks_from_documents,
+)
 from readabilitysax_spark.sources.pages import (
     read_documents,
-    read_pages,
+    read_pages_meta,
     spread_small_scan,
 )
 
@@ -43,8 +46,12 @@ _ARTICLE_COLS = [
 
 
 def _articles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = read_pages(spark, sf_dir)
-    return extract_articles(pages, num_partitions=None).select(*_ARTICLE_COLS)
+    # page synthesis fused into the extraction pass (round 6): one
+    # Python runner per task instead of two, html never crosses the
+    # JVM boundary — values identical to
+    # extract_articles(read_pages(...)) (see the operator docstring)
+    docs = read_documents(spark, sf_dir)
+    return extract_articles_from_documents(docs).select(*_ARTICLE_COLS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,16 +69,16 @@ def _q_extract_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_extract_articles_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 output path (getHTML serialization) end-to-end."""
-    pages = read_pages(spark, sf_dir)
-    arts = extract_articles(pages, output_type="html")
+    docs = read_documents(spark, sf_dir)
+    arts = extract_articles_from_documents(docs, output_type="html")
     return arts.select("url", "title", F.col("text").alias("html_out"))
 
 
 def _q_extract_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang rides THROUGH the UDF (passthrough) — no url-keyed join of
     # two billion-row sides at scale
-    pages = read_pages(spark, sf_dir)
-    arts = extract_articles(pages, passthrough=("lang",))
+    docs = read_documents(spark, sf_dir)
+    arts = extract_articles_from_documents(docs, passthrough=("lang",))
     return (
         arts.groupBy("lang")
         .agg(
@@ -192,8 +199,12 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain crawl rollup (domain-level curation aggregation).
-    size_col='text' so the oracle can compute sizes analytically."""
-    return corpus.domain_stats(read_pages(spark, sf_dir), size_col="text")
+    size_col='text' so the oracle can compute sizes analytically.
+    Reads the html-pruned pages projection (read_pages_meta): this
+    rollup never touches html, and on a real pages table the scan
+    would prune that column — the Python synthesis pass is opaque to
+    Catalyst, so the pruning happens in the source helper."""
+    return corpus.domain_stats(read_pages_meta(spark, sf_dir), size_col="text")
 
 
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,21 +277,22 @@ def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame(
         [(f"{s}.example",) for s in _BLOCKED_SOURCES], "domain string"
     )
-    pages = read_pages(spark, sf_dir).select("url", "lang")
+    # html-pruned pages projection — same rationale as domain_stats
+    pages = read_pages_meta(spark, sf_dir).select("url", "lang")
     return curation.filter_blocklist(pages, blocked).orderBy("url")
 
 
 def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph pass: every <a href> per page, resolved with the
     reference's own URL semantics (same vectorized map shape as
-    extraction — zero shuffle)."""
-    return extract.extract_outlinks(read_pages(spark, sf_dir))
+    extraction — zero shuffle). Synthesis fused (round 6)."""
+    return extract_outlinks_from_documents(read_documents(spark, sf_dir))
 
 
 def _q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree rollup over the outlink table: links/pages per target
     domain (one shuffle on the domain key)."""
-    links = extract.extract_outlinks(read_pages(spark, sf_dir))
+    links = extract_outlinks_from_documents(read_documents(spark, sf_dir))
     domain = F.regexp_extract("href", "^[a-z]+://([^/]+)", 1)
     return (
         links.withColumn("target_domain", domain)
@@ -370,8 +382,8 @@ def _q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-extracted text against the gold text each page was built
     from — the eval closes the loop on the byte-identical invariant
     at token level, end-to-end through the UDF."""
-    pages = read_pages(spark, sf_dir).withColumnRenamed("text", "gold_text")
-    arts = extract_articles(pages, passthrough=("gold_text",))
+    docs = read_documents(spark, sf_dir).withColumn("gold_text", F.col("text"))
+    arts = extract_articles_from_documents(docs, passthrough=("gold_text",))
     return textstats.token_set_prf(
         arts, "text", "gold_text", id_col="url"
     ).orderBy("url")

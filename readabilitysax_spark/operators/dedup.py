@@ -711,33 +711,23 @@ def simhash_multi(
     cost of the widest single-width call.
     """
     max_bits = max(widths)
-    # Per-word vote extraction via integer bit tests instead of 64
-    # string ops: the first 16 hex chars of md5(word) are parsed ONCE
-    # into two 32-bit integer chunks (conv is the only string work per
-    # word), and bit b of the digest is then (chunk >> shift) & 1 —
-    # bit-identical to the per-nibble instr/substring arithmetic of
-    # simhash_sql_expr (hex char b//4+1 has value (c >> 4*(8-(b//4+1)))
-    # & 15, so its bit 3-b%4 sits at shift 31-b / 63-b), but ~64 cheap
-    # long ops per word instead of 64 substring+instr+pmod+CASE
-    # (guide §1.2 step 2: per-task work). The vote is 2*bit-1 == the
-    # CASE ... THEN 1 ELSE -1 — no null words can arise from split+
-    # explode, so the sums agree exactly. Oracle-side simhash_sql_expr
-    # is deliberately untouched (frozen SQL text); equality is pinned
-    # by the hash-checked dedup_simhash / simhash64_pairs rows and
-    # tests/test_operators.py.
+    # Vote extraction stays the per-nibble instr/substring arithmetic
+    # of simhash_sql_expr. A conv()-based variant (parse the first 16
+    # hex chars into two integer chunks once, then 64 shift/AND bit
+    # tests) was MEASURED SLOWER in an interleaved quiet-window A/B at
+    # sf0.1 (old 1.6-1.9 s vs conv 1.9-2.1 s): conv's radix conversion
+    # costs more than 64 codegen'd instr lookups save. Negative result
+    # recorded so the next round does not re-try it.
     words = documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).select("doc_id", F.md5("word").alias("h")).select(
-        "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("_c0"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("_c1"),
-    )
+    ).withColumn("h", F.md5("word"))
     aggs = []
     for b in range(max_bits):
-        c = F.col("_c0") if b < 32 else F.col("_c1")
-        shift = (31 - b) if b < 32 else (63 - b)
-        bit = F.shiftright(c, shift).bitwiseAND(F.lit(1)).cast("int")
-        aggs.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+        hx = b // 4 + 1
+        power = 2 ** (3 - b % 4)
+        nib = F.expr(f"instr('0123456789abcdef', substring(h, {hx}, 1)) - 1")
+        bit = F.when((nib % (power * 2)) >= power, 1).otherwise(-1)
+        aggs.append(F.sum(bit).alias(f"s{b}"))
     per_doc = words.groupBy("doc_id").agg(*aggs)
     outs = []
     for bits in widths:

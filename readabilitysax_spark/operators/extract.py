@@ -203,6 +203,109 @@ def extract_articles(
     )
 
 
+def _passthrough_schema(
+    df: DataFrame, passthrough: tuple[str, ...], base_schema: pa.Schema,
+    base_ddl: str,
+) -> tuple[pa.Schema, str]:
+    """(arrow schema, ddl) for a base articles schema + passthrough
+    columns taken from ``df``'s schema (shared by the pages-input and
+    fused documents-input extraction operators)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    if not passthrough:
+        return base_schema, base_ddl
+    extra_fields = [
+        pa.field(f.name, to_arrow_type(f.dataType))
+        for f in df.schema.fields
+        if f.name in passthrough
+    ]
+    extra_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in passthrough
+    )
+    return (
+        pa.schema(list(base_schema) + extra_fields),
+        f"{base_ddl}, {extra_ddl}",
+    )
+
+
+def extract_articles_from_documents(
+    documents: DataFrame,
+    output_type: str = "text",
+    settings: dict | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """documents(doc_id, text, source, …) → articles, page synthesis
+    FUSED into the extraction pass (round 6).
+
+    ``synthesize_pages`` → ``extract_articles`` chains two mapInArrow
+    stages: although they pipeline inside one task (no shuffle), every
+    task runs TWO concurrent Python runners — double the worker pool
+    (the first extraction query forked ~2×cores workers), double the
+    per-task worker handshakes, and the html payload crosses
+    JVM→Python→JVM→Python instead of being consumed where it is built
+    (guide §4.1: control how many times columns cross the boundary).
+    This operator synthesizes each page and extracts it in the SAME
+    batch loop — the html string never leaves the Python worker.
+    Values are identical to extract_articles(synthesize_pages(docs))
+    by construction: the same ``synth_page`` output feeds the same
+    extraction row loop (``_make_extract_fn``), only ``html_bytes``
+    — an unexposed lineage column — counts UTF-16-ish str length
+    instead of UTF-8 bytes, which no declared query selects.
+
+    The pages-table operator ``extract_articles`` stays the production
+    entry point (a real crawl reads pages from storage); this fused
+    form is the sandbox-scan analog, and at 100 TB it is what a
+    fused scan+extract over an in-worker decompressor would look like.
+    """
+    clash = set(passthrough) & set(ARTICLES_ARROW_SCHEMA.names)
+    if clash:
+        raise ValueError(
+            f"passthrough columns collide with article columns: {sorted(clash)}"
+        )
+    out_schema, ddl = _passthrough_schema(
+        documents, passthrough, ARTICLES_ARROW_SCHEMA, ARTICLES_DDL
+    )
+    inner = _make_extract_fn(settings, output_type, out_schema, passthrough, None)
+    pages_schema = pa.schema(
+        [pa.field("url", pa.string()), pa.field("html", pa.string())]
+        + [
+            f for f in out_schema
+            if f.name in passthrough
+        ]
+    )
+
+    def fused(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..functions.pagegen import synth_page
+
+        def synthesized() -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                doc_ids = batch.column("doc_id").to_pylist()
+                texts = batch.column("text").to_pylist()
+                sources = batch.column("source").to_pylist()
+                urls: list[str] = []
+                htmls: list[str] = []
+                for doc_id, text, source in zip(doc_ids, texts, sources):
+                    url, html = synth_page(doc_id, text, source)
+                    urls.append(url)
+                    htmls.append(html)
+                arrays = [pa.array(urls, pa.string()),
+                          pa.array(htmls, pa.string())]
+                for f in pages_schema:
+                    if f.name in ("url", "html"):
+                        continue
+                    arrays.append(batch.column(f.name))
+                yield pa.RecordBatch.from_arrays(arrays, schema=pages_schema)
+
+        yield from inner(synthesized())
+
+    src_cols = ["doc_id", "text", "source"] + [
+        c for c in passthrough if c not in ("doc_id", "text", "source")
+    ]
+    return documents.select(*src_cols).mapInArrow(fused, ddl)
+
+
 # ---- outlink extraction (the web-graph pass over the same pages scan) ----
 
 OUTLINKS_DDL = "url string, link_pos int, href string, anchor_text string"
@@ -330,3 +433,48 @@ def extract_outlinks(pages: DataFrame) -> DataFrame:
     column-pruned (url, html) scan, Arrow batches, zero shuffle —
     link-graph rollups (in-degree, per-domain) aggregate downstream."""
     return pages.select("url", "html").mapInArrow(_outlink_batches, OUTLINKS_DDL)
+
+
+def extract_outlinks_from_documents(documents: DataFrame) -> DataFrame:
+    """documents → outlinks with page synthesis fused into the same
+    batch loop — the outlink analog of
+    ``extract_articles_from_documents`` (see its docstring for why:
+    one Python runner per task instead of two, html never crosses the
+    boundary). Values identical to
+    ``extract_outlinks(synthesize_pages(docs))`` by construction."""
+
+    def fused(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..functions.pagegen import synth_page
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            sources = batch.column("source").to_pylist()
+            o_url: list[str] = []
+            o_pos: list[int] = []
+            o_href: list[str] = []
+            o_text: list[str] = []
+            for doc_id, text, source in zip(doc_ids, texts, sources):
+                url, html = synth_page(doc_id, text, source)
+                try:
+                    links = collect_outlinks(html, url)
+                except Exception:
+                    links = []  # one hostile page never kills the batch
+                for pos, href, anchor in links:
+                    o_url.append(url)
+                    o_pos.append(pos)
+                    o_href.append(href)
+                    o_text.append(anchor)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_url, pa.string()),
+                    pa.array(o_pos, pa.int32()),
+                    pa.array(o_href, pa.string()),
+                    pa.array(o_text, pa.string()),
+                ],
+                schema=_OUTLINKS_ARROW_SCHEMA,
+            )
+
+    return documents.select("doc_id", "text", "source").mapInArrow(
+        fused, OUTLINKS_DDL
+    )

@@ -96,6 +96,34 @@ def read_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_pages(read_documents(spark, sf_dir))
 
 
+def read_pages_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pages table WITHOUT the html payload: (url, warc_ts, text,
+    lang) — for queries that never read html (domain rollups, URL
+    blocklists). On a real pages table this is plain column pruning at
+    the parquet/iceberg scan (ReadSchema drops the heavy html column —
+    guide §6); in this sandbox the synthesis mapInArrow is opaque to
+    Catalyst, so pruning must happen HERE: the metadata columns are
+    the same deterministic functions of the documents row that
+    ``functions.pagegen.synth_page``/``synth_warc_ts`` compute (url =
+    page_url(source, doc_id), warc_ts = 2020-01-01 + doc_id seconds),
+    expressed as JVM expressions so no Python pass or html build runs
+    at all. Value-equality with ``read_pages`` on the shared columns is
+    pinned by tests/test_plans.py::test_read_pages_meta_matches_pages.
+    """
+    docs = read_documents(spark, sf_dir)
+    return docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example/articles/doc-"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_577_836_800) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def replicate_documents(documents: DataFrame, copies: int) -> DataFrame:
     """Deterministically scale up a documents table for bench runs:
     doc_id' = doc_id * copies + k keeps ids unique and synthesis pure."""

@@ -324,6 +324,67 @@ def test_ivf_recall_search_is_one_scan(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_read_pages_meta_matches_pages(spark):
+    """The html-pruned JVM pages projection must agree value-for-value
+    with the synthesized pages table on every shared column (url,
+    warc_ts, text, lang) — it is the sandbox stand-in for column
+    pruning at a real pages scan."""
+    from readabilitysax_spark.sources.pages import read_pages, read_pages_meta
+
+    full = {
+        r["url"]: (r["warc_ts"], r["text"], r["lang"])
+        for r in read_pages(spark, SF_TINY)
+        .select("url", "warc_ts", "text", "lang").collect()
+    }
+    meta = {
+        r["url"]: (r["warc_ts"], r["text"], r["lang"])
+        for r in read_pages_meta(spark, SF_TINY)
+        .select("url", "warc_ts", "text", "lang").collect()
+    }
+    assert full == meta
+
+
+def test_fused_extract_matches_staged(spark):
+    """extract_articles_from_documents (synthesis fused into the
+    extraction batch loop) must be row-for-row identical to
+    extract_articles(synthesize_pages(docs)) on every article column,
+    including passthrough; same for the fused outlinks pass."""
+    from readabilitysax_spark.operators.extract import (
+        extract_articles,
+        extract_articles_from_documents,
+        extract_outlinks,
+        extract_outlinks_from_documents,
+    )
+    from readabilitysax_spark.sources.pages import read_documents, synthesize_pages
+
+    docs = read_documents(spark, SF_TINY).where(F.col("doc_id") < 60)
+    cols = ["url", "title", "text", "text_length", "score", "next_page",
+            "skip_level", "error", "lang"]
+    staged = extract_articles(
+        synthesize_pages(docs), passthrough=("lang",)
+    ).select(*cols)
+    fused = extract_articles_from_documents(
+        docs, passthrough=("lang",)
+    ).select(*cols)
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
+    staged_html = extract_articles(
+        synthesize_pages(docs), output_type="html"
+    ).select("url", "text")
+    fused_html = extract_articles_from_documents(
+        docs, output_type="html"
+    ).select("url", "text")
+    assert sorted(map(tuple, fused_html.collect())) == sorted(
+        map(tuple, staged_html.collect())
+    )
+    s_links = extract_outlinks(synthesize_pages(docs))
+    f_links = extract_outlinks_from_documents(docs)
+    assert sorted(map(tuple, f_links.collect())) == sorted(
+        map(tuple, s_links.collect())
+    )
+
+
 def test_aqe_skew_join_splits_hot_jaccard_bucket(spark):
     """PLANS.md §'Why these hold at 100 TB' claims AQE skew-join
     handles residual imbalance in the jaccard joins — this pins it
