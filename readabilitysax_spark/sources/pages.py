@@ -66,7 +66,17 @@ def synthesize_pages(documents: DataFrame) -> DataFrame:
     )
 
 
-def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+# split-count probe cache: (applicationId, key, parallelism) → n.
+# ``df.rdd.getNumPartitions()`` converts the whole logical plan to an
+# RDD on the driver (no job, but tens of ms of py4j + planning) and the
+# answer is a pure function of the file layout — every query paid it
+# once per source read. Metadata only; never caches data or results.
+_SPLIT_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def spread_small_scan(
+    spark: SparkSession, df: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """Round-robin a scan whose split count is below the core count.
 
     Parquet splits align to row groups, so a small corpus written as one
@@ -77,16 +87,30 @@ def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     where it fires and a structural NO-OP at production scale: a 100 TB
     table scans as thousands of splits, so the branch never triggers and
     no full-corpus shuffle is ever added.
+
+    ``cache_key``: pass a stable source identifier (e.g. the parquet
+    path) to memoize the split-count probe per session — sound because
+    the count depends only on the file layout and session parallelism.
     """
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    key = (
+        (spark.sparkContext.applicationId, cache_key, parallelism)
+        if cache_key else None
+    )
+    n = _SPLIT_COUNT_CACHE.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key:
+            _SPLIT_COUNT_CACHE[key] = n
+    if n < parallelism:
         return df.repartition(parallelism)
     return df
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/documents.parquet"
     return spread_small_scan(
-        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark, spark.read.parquet(path), cache_key=path
     )
 
 
