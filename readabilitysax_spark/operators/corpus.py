@@ -118,16 +118,22 @@ def pack_sequences(
     # consumers read (on a cluster: checkpoint/write the staged table).
     toks = toks.withColumn("_part", F.spark_partition_id()).localCheckpoint()
 
-    part_totals = (
-        toks.groupBy("_part").agg(F.sum("n_tokens").alias("_total")).collect()
+    # per-partition base offsets WITHOUT a driver collect: prefix-sum
+    # the (num_partitions)-row totals table with a triangular self-join
+    # (base of partition p = sum of earlier partitions' totals). One
+    # row per range partition on both sides, so the non-equi join is
+    # trivially small at any corpus size, it folds into the same job
+    # as the window pass (one less job + no createDataFrame py4j
+    # round-trip), and the driver never touches data (guide §5).
+    totals = toks.groupBy("_part").agg(F.sum("n_tokens").alias("_total"))
+    earlier = totals.select(
+        F.col("_part").alias("_p2"), F.col("_total").alias("_t2")
     )
-    base = 0
-    offsets = []
-    for row in sorted(part_totals, key=lambda r: r["_part"]):
-        offsets.append((row["_part"], base))
-        base += row["_total"]
-    spark = documents.sparkSession
-    offset_df = spark.createDataFrame(offsets, "_part int, _base bigint")
+    offset_df = (
+        totals.join(earlier, F.col("_p2") < F.col("_part"), "left")
+        .groupBy("_part")
+        .agg(F.coalesce(F.sum("_t2"), F.lit(0)).cast("bigint").alias("_base"))
+    )
 
     w = Window.partitionBy("_part").orderBy(id_col)
     return (

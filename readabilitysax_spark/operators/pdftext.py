@@ -29,9 +29,12 @@ Disclosed boundary: no encrypted documents, no LZW or
 predictor-filtered streams (such streams are skipped, the rest of the
 document still extracts), CID fonts WITHOUT a ToUnicode CMap
 (e.g. Identity-H relying on the font program's cmap table) extract as
-raw code bytes, and a single /ObjStm is expanded up to 50,000
+raw code bytes, a single /ObjStm is expanded up to 50,000
 sub-objects (hostile-input bound; real producers pack tens to
-hundreds). The Spark surface is the point here: schema, Arrow
+hundreds), and any one FlateDecode stream inflates to at most 256 MB
+(hostile-input bound: a KB-sized deflate bomb is treated as
+undecodable instead of filling the Arrow worker; legitimate
+text-bearing streams are orders of magnitude smaller). The Spark surface is the point here: schema, Arrow
 batching, error-row semantics and partitioning all match
 ``operators/extract.py``.
 
@@ -109,6 +112,7 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[(.*?)\]|/(\w+))", re.S)
 _FILTER_NAME_RE = re.compile(rb"/(\w+)")
 _MAX_OBJSTM_OBJS = 50_000  # per-ObjStm sub-object cap (hostile input)
+_MAX_STREAM_BYTES = 256 << 20  # per-stream inflate cap (hostile input)
 
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
@@ -126,7 +130,27 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes | None:
         names = [m.group(2).decode("ascii")]
     for f in names:
         if f == "FlateDecode":
-            stream = zlib.decompress(stream)
+            # chunked inflate with a total-output cap: a KB-sized
+            # hostile FlateDecode bomb must not inflate to GBs inside
+            # the Arrow worker (round-5 ADVICE). Past the cap the
+            # stream is treated as undecodable (None) and the caller's
+            # per-stream degradation path applies; malformed/truncated
+            # input still raises zlib.error exactly like the previous
+            # one-shot zlib.decompress.
+            d = zlib.decompressobj()
+            out = bytearray()
+            data = stream
+            while not d.eof:
+                chunk = d.decompress(data, 1 << 20)
+                out += chunk
+                if len(out) > _MAX_STREAM_BYTES:
+                    return None
+                data = d.unconsumed_tail
+                if not chunk and not data and not d.eof:
+                    raise zlib.error(
+                        "incomplete or truncated FlateDecode stream"
+                    )
+            stream = bytes(out)
         elif f == "ASCIIHexDecode":
             hx = stream.split(b">")[0]
             hx = re.sub(rb"[^0-9A-Fa-f]", b"", hx)
@@ -423,18 +447,24 @@ def _balanced_dict(data: bytes, start: int) -> bytes | None:
 def _dict_value(body: bytes, key: bytes,
                 objs: dict[int, tuple[bytes, bytes | None]]) -> bytes | None:
     """Value of ``/key`` in ``body``: an inline ``<<…>>`` dict slice, or
-    the referenced object's body for the ``N 0 R`` form."""
-    m = re.search(rb"/" + key + rb"\s*", body)
-    if m is None:
-        return None
-    at = m.end()
-    if body[at:at + 2] == b"<<":
-        return _balanced_dict(body, at)
-    rm = re.match(rb"(\d+)\s+\d+\s+R", body[at:at + 32])
-    if rm is not None:
-        ref = int(rm.group(1))
-        if ref in objs:
-            return objs[ref][0]
+    the referenced object's body for the ``N 0 R`` form.
+
+    The key match is name-boundary-anchored (a PDF name ends at
+    whitespace or a delimiter, ISO 32000 §7.3.5) and the scan continues
+    past non-parsing occurrences — round-5 ADVICE: a preceding
+    ``/ResourcesAlt`` key must neither shadow a real ``/Resources``
+    later in the dict nor abort the lookup."""
+    for m in re.finditer(rb"/" + key + rb"(?=[\s/<>\[\]()%]|$)", body):
+        at = m.end()
+        while at < len(body) and body[at:at + 1] in b" \t\r\n":
+            at += 1
+        if body[at:at + 2] == b"<<":
+            return _balanced_dict(body, at)
+        rm = re.match(rb"(\d+)\s+\d+\s+R", body[at:at + 32])
+        if rm is not None:
+            ref = int(rm.group(1))
+            if ref in objs:
+                return objs[ref][0]
     return None
 
 

@@ -403,15 +403,10 @@ def ivf_topk(
     for ad-hoc exploration; production queries should run against a
     prebuilt index instead: ``build_ivf_index`` once (offline, the two
     full-corpus passes live THERE), then ``ivf_search`` per query
-    (probe-filtered scan only).
-
-    The input is materialized once up front: the one-shot path reads
-    the corpus in FOUR separate jobs (seed head, one Lloyd
-    assignment+collect per iteration, final assignment+search), each
-    of which would otherwise re-run the scan + repartition; the
-    checkpoint pays that once (the in-session analog of the staging
-    table an ad-hoc exploration would point at)."""
-    embeddings = embeddings.localCheckpoint()
+    (probe-filtered scan only). (A localCheckpoint of the input here
+    measured as a wash at sf0.1 — the wall is assignment compute and
+    job overhead, not the re-scans — and would be wrong at corpus
+    scale, so the one-shot path deliberately stays scan-per-job.)"""
     centroids = train_centroids_deterministic(embeddings, n_lists, id_col, vec_col)
     assigned = ivf_assign(embeddings, centroids, vec_col)
     return ivf_search(assigned, centroids, query_vec, n_probe, k, id_col, vec_col)

@@ -526,3 +526,40 @@ def test_shared_cmap_parsed_once_per_document(monkeypatch):
     got, n_pages = P.extract_text_from_pdf(synth_pdf(1, text, cid=True))
     assert n_pages == 5 and got == expected_pdf_text(text)
     assert calls["n"] == 1
+
+
+def test_flate_bomb_is_capped_not_inflated():
+    """Round-5 ADVICE: a KB-sized FlateDecode bomb must not inflate to
+    GBs in the worker — past the 256 MB cap the stream reads as
+    undecodable (None); malformed input still raises like one-shot
+    zlib.decompress; normal streams round-trip unchanged."""
+    import zlib
+
+    from readabilitysax_spark.operators import pdftext as P
+
+    head = b"<</Filter /FlateDecode>>"
+    normal = b"hello pdf stream " * 100
+    assert P._decode_stream(head, zlib.compress(normal)) == normal
+    bomb = zlib.compress(b"\x00" * (300 << 20), 9)  # ~300 MB from ~300 KB
+    assert len(bomb) < (1 << 21)
+    assert P._decode_stream(head, bomb) is None
+    import pytest as _pytest
+    with _pytest.raises(zlib.error):
+        P._decode_stream(head, zlib.compress(normal)[:-4])
+    with _pytest.raises(zlib.error):
+        P._decode_stream(head, b"not deflate at all")
+
+
+def test_dict_value_key_is_name_boundary_anchored():
+    """Round-5 ADVICE: /ResourcesAlt must not shadow (or abort the
+    lookup of) a real /Resources later in the dict."""
+    from readabilitysax_spark.operators import pdftext as P
+
+    objs = {7: (b"<</Font <</F1 9 0 R>>>>", None)}
+    body = b"<</ResourcesAlt 3 0 R /Resources 7 0 R /Type /Page>>"
+    assert P._dict_value(body, b"Resources", objs) == objs[7][0]
+    inline = b"<</ResourcesAlt (x) /Resources <</Font <<>>>> /T /P>>"
+    assert P._dict_value(inline, b"Resources", {}) == b"<</Font <<>>>>"
+    # a non-parsing first occurrence must not stop the scan
+    weird = b"<</Resources junk /Resources 7 0 R>>"
+    assert P._dict_value(weird, b"Resources", objs) == objs[7][0]
