@@ -381,13 +381,21 @@ def ngram_jaccard_pairs(
         pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hset", "set_a"), "doc_a")
         .join(sets_df.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hset", "set_b"), "doc_b")
         .withColumn(
+            # |A∪B| = |A|+|B|-|A∩B| — valid because hset is
+            # array_distinct per doc, so each side is duplicate-free;
+            # this drops the array_union materialization (the verify
+            # stage's most expensive alloc) and computes ONE set
+            # intersection per pair instead of intersect+union. Same
+            # ints → identical double division; the >0 guard is the
+            # same condition (union empty ⟺ both sets empty).
+            "_inter", F.size(F.array_intersect("set_a", "set_b")),
+        )
+        .withColumn(
             "jaccard",
-            # union can only be empty if both shingle sets are (short
-            # docs) — guard the ANSI divide-by-zero
             F.when(
-                F.size(F.array_union("set_a", "set_b")) > 0,
-                F.size(F.array_intersect("set_a", "set_b"))
-                / F.size(F.array_union("set_a", "set_b")),
+                (F.size("set_a") + F.size("set_b") - F.col("_inter")) > 0,
+                F.col("_inter")
+                / (F.size("set_a") + F.size("set_b") - F.col("_inter")),
             ).otherwise(F.lit(0.0)),
         )
         .where(F.col("jaccard") >= threshold)
